@@ -1,0 +1,282 @@
+"""Transformer building blocks for the factored space/time video model.
+
+Semantics parity (layer math, init scales, norm placement) with
+/root/reference/train/layers.py:8-224, re-architected for TPU:
+
+* RoPE is stateless (trace-time constant tables) instead of an 8k-entry cached
+  ``nnx.Variable`` — see :mod:`video_vae_tpu.ops.rope`.
+* Attention dispatches through :func:`video_vae_tpu.ops.masked_attention` so the
+  backend (XLA fused attention vs Pallas flash kernel) is a config choice.
+* The temporal padding mask is expanded to the (b·hw) axis *inside*
+  FactoredAttention (the newer reference variant,
+  /root/reference/claude_distributed/layers.py:213-214), so callers never build
+  giant broadcasted masks.
+* Activation sharding constraints (:func:`video_vae_tpu.parallel.constrain`)
+  pin the batch axis to the ('data','fsdp') mesh axes at block boundaries; with
+  no active mesh they are no-ops, so the same module runs single-chip.
+* Remat is config-gated per block instead of hardwired decorators.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from einops import rearrange
+from flax import nnx
+
+from video_vae_tpu.ops.attention import masked_attention
+from video_vae_tpu.ops.rope import apply_rope
+from video_vae_tpu.parallel.sharding import constrain
+
+# 100x-reduced init scale on residual-branch output projections
+# (/root/reference/train/layers.py:143-147,182-186) — keeps deep residual
+# stacks near-identity at init.
+def small_init(scale: float = 1e-2):
+    return nnx.initializers.variance_scaling(
+        scale=scale, mode="fan_in", distribution="truncated_normal"
+    )
+
+
+class PatchEmbedding(nnx.Module):
+    """(b,t,H,W,C) → (b,t,hw,p²c): non-overlapping patches, LayerNorm, Linear.
+
+    Parity: /root/reference/train/layers.py:8-27 (einops rearrange rather than a
+    conv — the patch pixels *are* the embedding; the Linear is square).
+    """
+
+    def __init__(
+        self,
+        channels: int,
+        patch_size: int,
+        rngs: nnx.Rngs,
+        *,
+        dtype=jnp.bfloat16,
+        param_dtype=jnp.float32,
+    ):
+        dim = channels * patch_size * patch_size
+        self.patch_size = patch_size
+        self.dtype = dtype
+        self.norm = nnx.LayerNorm(dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.linear = nnx.Linear(dim, dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        p = self.patch_size
+        x = rearrange(x, "b t (h p1) (w p2) c -> b t (h w) (p1 p2 c)", p1=p, p2=p)
+        x = x.astype(self.dtype)
+        return self.linear(self.norm(x))
+
+
+class PatchUnEmbedding(nnx.Module):
+    """Tokens → (upsampled conv features, direct pixel reconstruction).
+
+    Parity: /root/reference/train/layers.py:29-55. ``conv_features`` (channels ×
+    upsample_rate) feed the UNet; ``x`` is the low-capacity direct path that the
+    UNet output is added to as a residual.
+    """
+
+    def __init__(
+        self,
+        height: int,
+        width: int,
+        channels: int,
+        patch_size: int,
+        upsample_rate: int,
+        rngs: nnx.Rngs,
+        *,
+        dtype=jnp.bfloat16,
+        param_dtype=jnp.float32,
+    ):
+        dim = channels * patch_size * patch_size
+        self.patch_size = patch_size
+        self.height = height
+        self.width = width
+        self.upsample_rate = upsample_rate
+        self.linear = nnx.Linear(dim, dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.upsample = nnx.Linear(
+            dim, dim * upsample_rate, dtype=dtype, param_dtype=param_dtype, rngs=rngs
+        )
+        self.downsample = nnx.Linear(
+            channels * upsample_rate, channels, dtype=dtype, param_dtype=param_dtype, rngs=rngs
+        )
+
+    def __call__(self, x: jnp.ndarray):
+        x = self.linear(x)
+        x = self.upsample(x)
+        conv_features = rearrange(
+            x,
+            "b t (h w) (p1 p2 c) -> b t (h p1) (w p2) c",
+            p1=self.patch_size,
+            p2=self.patch_size,
+            h=self.height // self.patch_size,
+            w=self.width // self.patch_size,
+        )
+        direct = self.downsample(conv_features)
+        return conv_features, direct
+
+
+class Attention(nnx.Module):
+    """Pre-LN multi-head attention: fused QKV, per-head QK-norm, RoPE.
+
+    Parity: /root/reference/train/layers.py:131-171.
+    """
+
+    def __init__(
+        self,
+        in_features: int,
+        num_heads: int,
+        qkv_features: int,
+        rngs: nnx.Rngs,
+        *,
+        rope_base: float = 10000.0,
+        rope_alpha: float = 1.0,
+        attention_impl: str = "xla",
+        dtype=jnp.bfloat16,
+        param_dtype=jnp.float32,
+    ):
+        self.num_heads = num_heads
+        self.rope_base = rope_base
+        self.rope_alpha = rope_alpha
+        self.attention_impl = attention_impl
+        head_dim = qkv_features // num_heads
+        self.input_norm = nnx.LayerNorm(
+            in_features, dtype=dtype, param_dtype=param_dtype, rngs=rngs
+        )
+        self.qkv_projection = nnx.Linear(
+            in_features, qkv_features * 3, dtype=dtype, param_dtype=param_dtype, rngs=rngs
+        )
+        self.out_projection = nnx.Linear(
+            qkv_features,
+            in_features,
+            kernel_init=small_init(),
+            dtype=dtype,
+            param_dtype=param_dtype,
+            rngs=rngs,
+        )
+        self.q_norm = nnx.LayerNorm(
+            head_dim, use_bias=False, dtype=dtype, param_dtype=param_dtype, rngs=rngs
+        )
+        self.k_norm = nnx.LayerNorm(
+            head_dim, use_bias=False, dtype=dtype, param_dtype=param_dtype, rngs=rngs
+        )
+
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        x = self.input_norm(x)
+        q, k, v = jnp.split(self.qkv_projection(x), 3, axis=-1)
+        q = rearrange(q, "b s (h d) -> b s h d", h=self.num_heads)
+        k = rearrange(k, "b s (h d) -> b s h d", h=self.num_heads)
+        v = rearrange(v, "b s (h d) -> b s h d", h=self.num_heads)
+        q = self.q_norm(q)
+        k = self.k_norm(k)
+        q, k = apply_rope(q, k, base=self.rope_base, alpha=self.rope_alpha)
+        # Keep heads on the tensor axis (follows the column-parallel QKV split).
+        q = constrain(q, ("data", "fsdp"), None, "tensor")
+        k = constrain(k, ("data", "fsdp"), None, "tensor")
+        v = constrain(v, ("data", "fsdp"), None, "tensor")
+        out = masked_attention(q, k, v, mask, impl=self.attention_impl)
+        out = rearrange(out, "b s h d -> b s (h d)")
+        return self.out_projection(out)
+
+
+class MLP(nnx.Module):
+    """Pre-LN → Linear → SiLU → Linear (small-init out).
+
+    Parity: /root/reference/train/layers.py:174-196.
+    """
+
+    def __init__(
+        self,
+        in_features: int,
+        mlp_dim: int,
+        rngs: nnx.Rngs,
+        *,
+        dtype=jnp.bfloat16,
+        param_dtype=jnp.float32,
+    ):
+        self.norm = nnx.LayerNorm(in_features, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.linear1 = nnx.Linear(in_features, mlp_dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.linear2 = nnx.Linear(
+            mlp_dim,
+            in_features,
+            kernel_init=small_init(),
+            dtype=dtype,
+            param_dtype=param_dtype,
+            rngs=rngs,
+        )
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.linear2(nnx.silu(self.linear1(self.norm(x))))
+
+
+class FactoredAttention(nnx.Module):
+    """Axial space/time block: temporal attention+MLP, then spatial attention+MLP.
+
+    Parity: /root/reference/train/layers.py:198-224 with the internal mask
+    expansion of /root/reference/claude_distributed/layers.py:213-214. The two
+    O(t²)+O(hw²) passes are how the reference scales sequence length without
+    joint O((t·hw)²) attention (SURVEY.md §2.4).
+
+    Sequence parallelism falls out of the data layout: temporal attention runs
+    on (b·hw, t, c) and spatial attention on (b·t, hw, c); constraining the
+    leading axis to the ('data','fsdp') mesh axes shards both embarrassingly
+    parallel passes without collectives inside the block.
+    """
+
+    def __init__(
+        self,
+        in_features: int,
+        mlp_dim: int,
+        num_heads: int,
+        qkv_features: int,
+        rngs: nnx.Rngs,
+        *,
+        rope_base: float = 10000.0,
+        rope_alpha: float = 1.0,
+        attention_impl: str = "xla",
+        remat: bool = True,
+        dtype=jnp.bfloat16,
+        param_dtype=jnp.float32,
+    ):
+        kw = dict(
+            rope_base=rope_base,
+            rope_alpha=rope_alpha,
+            attention_impl=attention_impl,
+            dtype=dtype,
+            param_dtype=param_dtype,
+        )
+        self.TemporalAttention = Attention(in_features, num_heads, qkv_features, rngs, **kw)
+        self.TemporalMLP = MLP(in_features, mlp_dim, rngs, dtype=dtype, param_dtype=param_dtype)
+        self.SpatialAttention = Attention(in_features, num_heads, qkv_features, rngs, **kw)
+        self.SpatialMLP = MLP(in_features, mlp_dim, rngs, dtype=dtype, param_dtype=param_dtype)
+        self.use_remat = remat
+
+    def _forward(self, x: jnp.ndarray, temporal_mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+        b, t, hw, c = x.shape
+        # --- temporal pass over (b·hw, t, c) ---
+        temporal_x = rearrange(x, "b t hw c -> (b hw) t c")
+        temporal_x = constrain(temporal_x, ("data", "fsdp"))
+        if temporal_mask is not None:
+            # (b,1,1,t) -> (b·hw,1,1,t) without materializing an intermediate.
+            mask = jnp.broadcast_to(
+                temporal_mask[:, None, :, :, :], (b, hw, 1, 1, t)
+            ).reshape(b * hw, 1, 1, t)
+        else:
+            mask = None
+        temporal_x = temporal_x + self.TemporalAttention(temporal_x, mask)
+        temporal_x = temporal_x + self.TemporalMLP(temporal_x)
+        x = rearrange(temporal_x, "(b hw) t c -> b t hw c", b=b, hw=hw)
+
+        # --- spatial pass over (b·t, hw, c); padding frames are masked in the
+        # loss, so no mask is needed here (parity: layers.py:219) ---
+        spatial_x = rearrange(x, "b t hw c -> (b t) hw c")
+        spatial_x = constrain(spatial_x, ("data", "fsdp"))
+        spatial_x = spatial_x + self.SpatialAttention(spatial_x)
+        spatial_x = spatial_x + self.SpatialMLP(spatial_x)
+        x = rearrange(spatial_x, "(b t) hw c -> b t hw c", b=b, t=t)
+        return constrain(x, ("data", "fsdp"))
+
+    def __call__(self, x: jnp.ndarray, temporal_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        if self.use_remat:
+            return nnx.remat(FactoredAttention._forward)(self, x, temporal_mask)
+        return self._forward(x, temporal_mask)

@@ -1,0 +1,199 @@
+"""Shape-preserving 3D-conv UNet decoder head.
+
+Parity: /root/reference/train/unet.py:7-188 — (t_k,7,7) patch-mixer conv,
+``num_levels`` down blocks (2×conv + spatial-only 2×2 maxpool), 2 bottleneck
+convs, up blocks (spatial ConvTranspose + skip concat + 2×conv), zero-initialized
+1×1×1 final conv so the UNet starts as an identity residual.
+
+TPU notes: NDHWC (channels-last) layout throughout — the XLA TPU conv emitter
+tiles channels-last 3D convs onto the MXU; GroupNorm/SiLU fuse into the conv
+epilogue. Remat is config-gated per block (the reference hardwires it,
+/root/reference/train/unet.py:44,76).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import nnx
+
+from video_vae_tpu.parallel.sharding import constrain
+
+
+class ConvBlock3D(nnx.Module):
+    """Conv3D (t_k,k,k) SAME → GroupNorm(≤8 groups) → SiLU."""
+
+    def __init__(
+        self,
+        in_channels: int,
+        out_channels: int,
+        kernel_size: int,
+        rngs: nnx.Rngs,
+        *,
+        temporal_kernel: int = 3,
+        dtype=jnp.bfloat16,
+        param_dtype=jnp.float32,
+    ):
+        self.conv = nnx.Conv(
+            in_features=in_channels,
+            out_features=out_channels,
+            kernel_size=(temporal_kernel, kernel_size, kernel_size),
+            padding="SAME",
+            dtype=dtype,
+            param_dtype=param_dtype,
+            rngs=rngs,
+        )
+        self.norm = nnx.GroupNorm(
+            num_groups=min(8, out_channels),
+            num_features=out_channels,
+            dtype=dtype,
+            param_dtype=param_dtype,
+            rngs=rngs,
+        )
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nnx.silu(self.norm(self.conv(x)))
+
+
+class DownBlock3D(nnx.Module):
+    """2×ConvBlock3D, returns (spatially pooled, pre-pool skip)."""
+
+    def __init__(
+        self,
+        in_channels: int,
+        out_channels: int,
+        rngs: nnx.Rngs,
+        *,
+        temporal_kernel: int = 3,
+        remat: bool = True,
+        dtype=jnp.bfloat16,
+        param_dtype=jnp.float32,
+    ):
+        kw = dict(temporal_kernel=temporal_kernel, dtype=dtype, param_dtype=param_dtype)
+        self.conv1 = ConvBlock3D(in_channels, out_channels, 3, rngs, **kw)
+        self.conv2 = ConvBlock3D(out_channels, out_channels, 3, rngs, **kw)
+        self.use_remat = remat
+
+    def _forward(self, x):
+        x = self.conv1(x)
+        x = self.conv2(x)
+        skip = x
+        # Spatial-only pooling; the temporal axis is preserved.
+        x = nnx.max_pool(x, window_shape=(1, 2, 2), strides=(1, 2, 2))
+        return x, skip
+
+    def __call__(self, x: jnp.ndarray):
+        if self.use_remat:
+            return nnx.remat(DownBlock3D._forward)(self, x)
+        return self._forward(x)
+
+
+class UpBlock3D(nnx.Module):
+    """Spatial 2× ConvTranspose, skip concat, 2×ConvBlock3D."""
+
+    def __init__(
+        self,
+        in_channels: int,
+        out_channels: int,
+        rngs: nnx.Rngs,
+        *,
+        temporal_kernel: int = 3,
+        remat: bool = True,
+        dtype=jnp.bfloat16,
+        param_dtype=jnp.float32,
+    ):
+        kw = dict(temporal_kernel=temporal_kernel, dtype=dtype, param_dtype=param_dtype)
+        self.upsample = nnx.ConvTranspose(
+            in_features=in_channels,
+            out_features=out_channels,
+            kernel_size=(1, 2, 2),
+            strides=(1, 2, 2),
+            dtype=dtype,
+            param_dtype=param_dtype,
+            rngs=rngs,
+        )
+        self.conv1 = ConvBlock3D(out_channels * 2, out_channels, 3, rngs, **kw)
+        self.conv2 = ConvBlock3D(out_channels, out_channels, 3, rngs, **kw)
+        self.use_remat = remat
+
+    def _forward(self, x, skip):
+        x = self.upsample(x)
+        x = jnp.concatenate([x, skip], axis=-1)
+        x = self.conv1(x)
+        x = self.conv2(x)
+        return x
+
+    def __call__(self, x: jnp.ndarray, skip: jnp.ndarray) -> jnp.ndarray:
+        if self.use_remat:
+            return nnx.remat(UpBlock3D._forward)(self, x, skip)
+        return self._forward(x, skip)
+
+
+class UNet3D(nnx.Module):
+    """(b,t,h,w,c_in) → (b,t,h,w,c_out), zero-init output."""
+
+    def __init__(
+        self,
+        channels: int,
+        base_features: int = 16,
+        num_levels: int = 3,
+        out_features: int = 3,
+        rngs: nnx.Rngs = None,
+        *,
+        temporal_kernel: int = 3,
+        remat: bool = True,
+        dtype=jnp.bfloat16,
+        param_dtype=jnp.float32,
+    ):
+        self.dtype = dtype
+        kw = dict(
+            temporal_kernel=temporal_kernel, remat=remat, dtype=dtype, param_dtype=param_dtype
+        )
+        self.patch_mixer = nnx.Conv(
+            in_features=channels,
+            out_features=channels,
+            kernel_size=(temporal_kernel, 7, 7),
+            padding="SAME",
+            dtype=dtype,
+            param_dtype=param_dtype,
+            rngs=rngs,
+        )
+        self.encoders = nnx.List([])
+        in_ch = channels
+        for i in range(num_levels):
+            out_ch = base_features * (2**i)
+            self.encoders.append(DownBlock3D(in_ch, out_ch, rngs, **kw))
+            in_ch = out_ch
+        bottleneck_ch = base_features * (2**num_levels)
+        cb_kw = dict(temporal_kernel=temporal_kernel, dtype=dtype, param_dtype=param_dtype)
+        self.bottleneck1 = ConvBlock3D(in_ch, bottleneck_ch, 3, rngs, **cb_kw)
+        self.bottleneck2 = ConvBlock3D(bottleneck_ch, bottleneck_ch, 3, rngs, **cb_kw)
+        self.decoders = nnx.List([])
+        in_ch = bottleneck_ch
+        for i in range(num_levels - 1, -1, -1):
+            out_ch = base_features * (2**i)
+            self.decoders.append(UpBlock3D(in_ch, out_ch, rngs, **kw))
+            in_ch = out_ch
+        self.final_conv = nnx.Conv(
+            in_features=base_features,
+            out_features=out_features,
+            kernel_size=(1, 1, 1),
+            padding="SAME",
+            kernel_init=nnx.initializers.zeros,
+            dtype=dtype,
+            param_dtype=param_dtype,
+            rngs=rngs,
+        )
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = x.astype(self.dtype)
+        x = constrain(x, ("data", "fsdp"))
+        x = self.patch_mixer(x)
+        skips = []
+        for encoder in self.encoders:
+            x, skip = encoder(x)
+            skips.append(skip)
+        x = self.bottleneck1(x)
+        x = self.bottleneck2(x)
+        for decoder, skip in zip(self.decoders, reversed(skips)):
+            x = decoder(x, skip)
+        return self.final_conv(x)

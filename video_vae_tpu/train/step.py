@@ -1,0 +1,118 @@
+"""Jitted train/eval step builders.
+
+Parity: train_step/eval_step (/root/reference/train/rl_nonadversarial.py:188-208),
+re-architected:
+
+* Callers pass the raw (b, t) frame mask — no caller-side hw expansion (the
+  reference's two drivers disagree about who expands the mask; here the model
+  owns it).
+* Dynamic hyperparameters arrive as a :class:`DynamicHParams` pytree — schedule
+  changes (e.g. the compression-rate ramp at rl_nonadversarial.py:325-326) never
+  recompile.
+* The returned step is a single nnx.jit program; under an active mesh the batch
+  is constrained to the data axes and XLA inserts the gradient all-reduce over
+  ICI exactly as in the reference's distributed driver
+  (/root/reference/claude_distributed/distributed_train.py:508).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+from flax import nnx
+
+from video_vae_tpu.core.config import DynamicHParams, LossConfig
+from video_vae_tpu.losses.losses import vae_loss
+from video_vae_tpu.losses.perceptual import make_perceptual_loss_fn
+
+
+def _loss_fn(model, video, frame_mask, rngs, hp, loss_cfg, perceptual_fn, train=True):
+    out = model(video, frame_mask, rngs, train=train)
+    return vae_loss(out, video, frame_mask, hp, loss_cfg, perceptual_fn)
+
+
+def make_train_step(
+    loss_cfg: LossConfig,
+    perceptual_fn: Optional[Callable] = None,
+    *,
+    compute_dtype=jnp.bfloat16,
+) -> Callable:
+    """Returns jitted (model, optimizer, video, frame_mask, rngs, hp) -> metrics."""
+
+    @nnx.jit
+    def train_step(
+        model: nnx.Module,
+        optimizer: nnx.Optimizer,
+        video: jnp.ndarray,
+        frame_mask: jnp.ndarray,
+        rngs: nnx.Rngs,
+        hp: DynamicHParams,
+    ):
+        video = video.astype(compute_dtype)
+
+        # rngs must be an explicit argument (not a closure) so nnx threads its
+        # mutable counts through the grad trace.
+        def loss_for_grad(model, rngs):
+            return _loss_fn(
+                model, video, frame_mask, rngs, hp, loss_cfg, perceptual_fn, train=True
+            )
+
+        grad_fn = nnx.value_and_grad(loss_for_grad, has_aux=True)
+        (loss, metrics), grads = grad_fn(model, rngs)
+        optimizer.update(model, grads)
+        return metrics
+
+    return train_step
+
+
+def make_eval_step(
+    loss_cfg: LossConfig,
+    perceptual_fn: Optional[Callable] = None,
+    *,
+    compute_dtype=jnp.bfloat16,
+    sample_latent: bool = True,
+) -> Callable:
+    """Eval step. ``sample_latent=True`` matches the reference eval, which keeps
+    train-mode latent sampling deliberately ("Train=False samples from the modal
+    distribution, which is not ideal", rl_nonadversarial.py:205); set False for
+    fully deterministic eval (exposed here, unused by the reference driver)."""
+
+    @nnx.jit
+    def eval_step(
+        model: nnx.Module,
+        video: jnp.ndarray,
+        frame_mask: jnp.ndarray,
+        rngs: nnx.Rngs,
+        hp: DynamicHParams,
+    ):
+        video = video.astype(compute_dtype)
+        out = model(video, frame_mask, rngs, train=sample_latent)
+        loss, metrics = vae_loss(out, video, frame_mask, hp, loss_cfg, perceptual_fn)
+        metrics["reconstruction"] = out.reconstruction
+        return metrics
+
+    return eval_step
+
+
+def make_reconstruct_fn(compute_dtype=jnp.bfloat16) -> Callable:
+    """Deterministic encode→decode pass (inference), jitted once per shape."""
+
+    @nnx.jit
+    def reconstruct(model: nnx.Module, video: jnp.ndarray, frame_mask: jnp.ndarray):
+        video = video.astype(compute_dtype)
+        mean, _, prob = model.encode(video, frame_mask)
+        keep = (prob >= 0.5).astype(mean.dtype)[..., None]  # (b, t, 1, 1)
+        blended = model.blend_fill(mean, keep)
+        return model.decode(blended, frame_mask)
+
+    return reconstruct
+
+
+def build_perceptual(loss_cfg: LossConfig, weights_path: Optional[str] = None):
+    """Construct the perceptual fn demanded by the loss config (or None)."""
+    if not loss_cfg.use_perceptual:
+        return None
+    from video_vae_tpu.models.vgg import load_vgg
+
+    return make_perceptual_loss_fn(load_vgg(weights_path))
