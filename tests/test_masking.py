@@ -1,0 +1,93 @@
+"""Mask ≡ truncation: padded computation must match unpadded computation.
+
+Parity: /root/reference/train/llm_tests.py:479-553 (per-depth tolerance ladder)
+and /root/reference/train/human_tests.py:62-95 (mask invariance + batch
+isolation). These tests pin the attention-mask semantics that make the fixed
+max_temporal_len buffer correct for any true length.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import pytest
+from flax import nnx
+
+from video_vae_tpu.models.layers import FactoredAttention
+
+
+@pytest.fixture(scope="module")
+def stack():
+    rngs = nnx.Rngs(0)
+    blocks = [
+        FactoredAttention(
+            in_features=48, mlp_dim=64, num_heads=2, qkv_features=32, rngs=rngs, remat=False
+        )
+        for _ in range(2)
+    ]
+    module = nnx.List(blocks)
+
+    @partial(nnx.jit, static_argnums=(3,))
+    def run(module, x, mask, depth: int):
+        for i, block in enumerate(module):
+            if i < depth:
+                x = block(x, mask)
+        return x
+
+    return module, run
+
+
+# fp32 CPU: accumulation error grows with depth (llm_tests.py derives
+# 5e-3 @ depth1 → 5e-2 @ depth2 for bf16; fp32 is far tighter).
+@pytest.mark.parametrize("depth,atol", [(1, 1e-3), (2, 5e-3)])
+def test_mask_equals_truncation(stack, depth, atol):
+    module, run = stack
+    b, t_full, t_real, hw, c = 2, 8, 5, 4, 48
+    x = jax.random.normal(jax.random.key(0), (b, t_full, hw, c))
+    mask = jnp.zeros((b, 1, 1, t_full), bool).at[:, :, :, :t_real].set(True)
+
+    padded = run(module, x, mask, depth)
+    truncated = run(
+        module, x[:, :t_real], jnp.ones((b, 1, 1, t_real), bool), depth
+    )
+    diff = jnp.max(jnp.abs(padded[:, :t_real] - truncated))
+    assert float(diff) < atol, f"mask≢truncation at depth {depth}: {float(diff)}"
+
+
+def test_padding_content_invariance(stack):
+    """Garbage in padded positions must not change valid outputs."""
+    module, run = stack
+    b, t_full, t_real, hw, c = 2, 8, 5, 4, 48
+    x = jax.random.normal(jax.random.key(0), (b, t_full, hw, c))
+    mask = jnp.zeros((b, 1, 1, t_full), bool).at[:, :, :, :t_real].set(True)
+    x_dirty = x.at[:, t_real:].set(1e3)
+
+    clean = run(module, x, mask, 2)
+    dirty = run(module, x_dirty, mask, 2)
+    diff = jnp.max(jnp.abs(clean[:, :t_real] - dirty[:, :t_real]))
+    assert float(diff) < 5e-3
+
+
+def test_batch_isolation(stack):
+    """Sample 0's output must not depend on sample 1's content."""
+    module, run = stack
+    b, t, hw, c = 2, 6, 4, 48
+    x = jax.random.normal(jax.random.key(0), (b, t, hw, c))
+    mask = jnp.ones((b, 1, 1, t), bool)
+    y = run(module, x, mask, 2)
+    x_mut = x.at[1].set(jax.random.normal(jax.random.key(1), (t, hw, c)) * 7)
+    y_mut = run(module, x_mut, mask, 2)
+    assert float(jnp.max(jnp.abs(y[0] - y_mut[0]))) < 1e-5
+
+
+def test_attention_mask_direct():
+    """jax.nn.dot_product_attention key-mask semantics (attention_mask_tests.py)."""
+    b, s, h, d = 1, 6, 2, 8
+    q = jax.random.normal(jax.random.key(0), (b, s, h, d))
+    k = jax.random.normal(jax.random.key(1), (b, s, h, d))
+    v = jax.random.normal(jax.random.key(2), (b, s, h, d))
+    mask = jnp.zeros((b, 1, 1, s), bool).at[..., :4].set(True)
+    out_masked = jax.nn.dot_product_attention(q, k, v, mask=mask)
+    out_trunc = jax.nn.dot_product_attention(q[:, :4], k[:, :4], v[:, :4])
+    # queries in the valid range attend only to valid keys
+    assert jnp.allclose(out_masked[:, :4], out_trunc, atol=1e-5)

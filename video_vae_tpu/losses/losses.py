@@ -119,6 +119,9 @@ def vae_loss(
     )
 
     metrics: LossMetrics = {
+        # device-resident tensor for periodic qualitative dumps; loggers skip
+        # non-scalars, so it costs nothing unless materialized
+        "reconstruction": out.reconstruction,
         "MSE": jnp.mean(mse),
         "per_sample_MAE": jnp.mean(mae),
         "perceptual_loss": jnp.mean(perceptual),

@@ -1,0 +1,104 @@
+"""Orbax checkpointing with SIGTERM-safe shutdown.
+
+Parity: save_checkpoint/load_checkpoint (/root/reference/train/rl_nonadversarial.py:62-67,
+/root/reference/train/model_loader.py:35-42) — the on-disk tree keeps the exact
+``{"model": ..., "optimizer": ...}`` nnx.state structure so checkpoints remain
+structurally cross-loadable with the reference. The multi-host path relies on
+Orbax's native distributed save/restore instead of the reference's
+numpy-materialize + proc-0-restore + broadcast workaround
+(/root/reference/claude_distributed/distributed_train.py:314-341).
+
+SIGTERM/SIGINT handling (spot-instance robustness) mirrors
+distributed_train.py:58-67: a flag flips on signal, the training loop saves a
+final checkpoint and exits cleanly.
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+from typing import Optional
+
+import jax
+import orbax.checkpoint as ocp
+from flax import nnx
+
+
+def _abstract(tree):
+    return jax.tree.map(ocp.utils.to_shape_dtype_struct, tree)
+
+
+def save_checkpoint(model: nnx.Module, optimizer, path: str) -> None:
+    """One-shot synchronous save of {"model","optimizer"}."""
+    state = {"model": nnx.state(model), "optimizer": nnx.state(optimizer)}
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), state)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint(model: nnx.Module, optimizer, path: str) -> None:
+    """In-place restore into an already-constructed model/optimizer."""
+    abstract = {
+        "model": _abstract(nnx.state(model)),
+        "optimizer": _abstract(nnx.state(optimizer)),
+    }
+    restored = ocp.StandardCheckpointer().restore(os.path.abspath(path), abstract)
+    nnx.update(model, restored["model"])
+    nnx.update(optimizer, restored["optimizer"])
+
+
+class CheckpointManager:
+    """Step-indexed async checkpointing (replaces ad-hoc per-epoch paths)."""
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self._mngr = ocp.CheckpointManager(
+            os.path.abspath(directory),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True, enable_async_checkpointing=True
+            ),
+        )
+
+    def save(self, step: int, model: nnx.Module, optimizer) -> None:
+        state = {"model": nnx.state(model), "optimizer": nnx.state(optimizer)}
+        self._mngr.save(step, args=ocp.args.StandardSave(state))
+
+    def restore_latest(self, model: nnx.Module, optimizer) -> Optional[int]:
+        step = self._mngr.latest_step()
+        if step is None:
+            return None
+        abstract = {
+            "model": _abstract(nnx.state(model)),
+            "optimizer": _abstract(nnx.state(optimizer)),
+        }
+        restored = self._mngr.restore(step, args=ocp.args.StandardRestore(abstract))
+        nnx.update(model, restored["model"])
+        nnx.update(optimizer, restored["optimizer"])
+        return step
+
+    def wait(self) -> None:
+        self._mngr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mngr.close()
+
+
+class GracefulShutdown:
+    """SIGTERM/SIGINT → flag; the training loop checkpoints and exits."""
+
+    def __init__(self, install: bool = True):
+        self.should_stop = False
+        self._prev = {}
+        if install:
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                try:
+                    self._prev[sig] = signal.signal(sig, self._handler)
+                except ValueError:  # non-main thread (tests)
+                    pass
+
+    def _handler(self, signum, frame):
+        print(f"[checkpoint] received signal {signum}; will checkpoint and stop")
+        self.should_stop = True
+
+    def uninstall(self):
+        for sig, prev in self._prev.items():
+            signal.signal(sig, prev)

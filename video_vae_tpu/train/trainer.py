@@ -1,0 +1,246 @@
+"""Training driver: curriculum, schedules, checkpoints, logging — one loop.
+
+Replaces the reference's four copy-pasted driver scripts
+(/root/reference/train/rl_nonadversarial.py:216-390,
+/root/reference/claude_distributed/distributed_train.py:70-587, plus legacy/)
+with a single Trainer that covers single-chip and multi-host SPMD:
+
+* mesh + shardings are declared once (parallel/); the same loop runs on one
+  chip, a CPU-simulated mesh, or a pod.
+* curriculum (halve batch / double frames per epoch,
+  rl_nonadversarial.py:287-295) reshapes only the *host* batches; each shape
+  bucket compiles once and is reused across epochs.
+* the compression-rate penalty schedule is a traced scalar
+  (DynamicHParams), not a recompiling dict mutation (rl_nonadversarial.py:325-326).
+* SIGTERM/SIGINT → save checkpoint and exit (distributed_train.py:58-67).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import numpy as np
+from flax import nnx
+
+from video_vae_tpu.core.config import DynamicHParams, VAEConfig
+from video_vae_tpu.data.pipeline import create_dataloader
+from video_vae_tpu.data.video_io import write_video
+from video_vae_tpu.models.vae import VideoVAE
+from video_vae_tpu.parallel.mesh import mesh_from_config
+from video_vae_tpu.parallel.sharding import activate_mesh, shard_process_local_batch
+from video_vae_tpu.train.checkpoint import CheckpointManager, GracefulShutdown
+from video_vae_tpu.train.metrics import MetricLogger
+from video_vae_tpu.train.setup import create_optimizer, create_sharded_model
+from video_vae_tpu.train.step import build_perceptual, make_eval_step, make_train_step
+
+
+def maybe_init_distributed() -> None:
+    """Env-driven jax.distributed.initialize (TPU pod auto / explicit / none).
+
+    Parity: /root/reference/claude_distributed/claude_changes/claude_rl_nonadversarial.py
+    coordinator-env scheme and distributed_train.py:79 TPU auto-discovery.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    nprocs = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    try:
+        if coord and nprocs and pid:
+            jax.distributed.initialize(coord, int(nprocs), int(pid))
+        elif len(hostnames.split(",")) > 1:
+            # Multi-host TPU pod: auto-discovery (distributed_train.py:79).
+            jax.distributed.initialize()
+    except RuntimeError as e:
+        # Backend already initialized (single-process dev loop) — run single.
+        print(f"[trainer] distributed init skipped: {e}")
+
+
+@dataclass
+class EpochPlan:
+    batch_size: int
+    max_frames: int
+
+
+def curriculum_plan(cfg: VAEConfig, epoch: int) -> EpochPlan:
+    """Halve batch / double frames each epoch up to caps (rl_nonadversarial.py:287-295)."""
+    t = cfg.train
+    d = cfg.data
+    if not t.curriculum:
+        return EpochPlan(d.batch_size, d.max_frames)
+    max_mult = min(
+        int(math.log2(max(1, d.batch_size // t.curriculum_min_batch))),
+        max(0, int(math.log2(max(1, t.curriculum_max_frames // d.max_frames))) - 1),
+    )
+    mult = min(epoch, max(0, max_mult))
+    return EpochPlan(
+        batch_size=max(t.curriculum_min_batch, d.batch_size // (2**mult)),
+        max_frames=min(t.curriculum_max_frames, d.max_frames * (2**mult)),
+    )
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: VAEConfig,
+        *,
+        vgg_weights: Optional[str] = None,
+        use_wandb: bool = False,
+        restore_from: Optional[str] = None,
+        install_signal_handlers: bool = True,
+    ):
+        self.cfg = cfg
+        maybe_init_distributed()
+        self.mesh = mesh_from_config(cfg.mesh)
+        model_cfg = cfg.model
+
+        with activate_mesh(self.mesh):
+            self.model = create_sharded_model(
+                lambda: VideoVAE(model_cfg, nnx.Rngs(cfg.train.model_seed, sampling=cfg.train.model_seed + 1)),
+                self.mesh,
+            )
+        self.optimizer = create_optimizer(self.model, cfg.optim, self.mesh)
+
+        self.perceptual_fn = build_perceptual(cfg.loss, vgg_weights)
+        self.train_step = make_train_step(
+            cfg.loss, self.perceptual_fn, compute_dtype=model_cfg.compute_dtype()
+        )
+        self.eval_step = make_eval_step(
+            cfg.loss, self.perceptual_fn, compute_dtype=model_cfg.compute_dtype()
+        )
+        self.rngs = nnx.Rngs(sampling=cfg.train.seed)
+        self.global_step = 0
+        self.ckpt = CheckpointManager(cfg.train.checkpoint_dir)
+        self.shutdown = GracefulShutdown(install=install_signal_handlers)
+        self.logger = MetricLogger(
+            log_dir=cfg.train.checkpoint_dir, use_wandb=use_wandb, config=None
+        )
+
+        self._resumed = False
+        if restore_from:
+            from video_vae_tpu.train.checkpoint import load_checkpoint
+
+            load_checkpoint(self.model, self.optimizer, restore_from)
+            self._resumed = True
+        else:
+            step = self.ckpt.restore_latest(self.model, self.optimizer)
+            if step is not None:
+                self.global_step = step
+                self._resumed = True
+
+    # ------------------------------------------------------------------
+
+    def hparams_for_step(self, step: int) -> DynamicHParams:
+        t = self.cfg.train
+        if self._resumed:
+            rate = t.resume_max_compression_rate  # fine-tune relaxation (:265-267)
+        elif step > t.negative_penalty_training_steps:
+            rate = t.relaxed_max_compression_rate
+        else:
+            rate = t.initial_max_compression_rate
+        return DynamicHParams.default(max_compression_rate=rate)
+
+    def _dump_videos(self, batch, metrics, tag: str, step: int) -> None:
+        t = self.cfg.train
+        recon = metrics.get("reconstruction")
+        if recon is None:
+            return
+        # All processes materialize (keeps collectives aligned,
+        # distributed_train.py:551-557); only proc 0 writes.
+        recon_np = np.asarray(jax.device_get(recon), dtype=np.float32)
+        if jax.process_index() != 0:
+            return
+        out_dir = os.path.join(t.video_save_dir, tag)
+        os.makedirs(out_dir, exist_ok=True)
+        try:
+            write_video(
+                {"video": recon_np, "mask": batch["mask"]},
+                os.path.join(out_dir, f"step{step}_recon.mp4"),
+            )
+            write_video(
+                {"video": batch["video"], "mask": batch["mask"]},
+                os.path.join(out_dir, f"step{step}_original.mp4"),
+            )
+        except Exception as e:  # video IO must never kill training
+            print(f"[trainer] video dump failed: {e}")
+
+    # ------------------------------------------------------------------
+
+    def run_epoch(self, epoch: int) -> bool:
+        """One training epoch. Returns False if a shutdown was requested."""
+        cfg = self.cfg
+        plan = curriculum_plan(cfg, epoch)
+        data_cfg = cfg.data.replace(batch_size=plan.batch_size, max_frames=plan.max_frames)
+        loader = create_dataloader(
+            data_cfg,
+            seed=cfg.data.seed + epoch,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+        )
+        for i, host_batch in enumerate(loader):
+            batch = shard_process_local_batch(host_batch, self.mesh)
+            hp = self.hparams_for_step(self.global_step)
+            with activate_mesh(self.mesh):
+                metrics = self.train_step(
+                    self.model, self.optimizer, batch["video"], batch["mask"], self.rngs, hp
+                )
+            self.global_step += 1
+            if self.global_step % cfg.train.log_every == 0:
+                self.logger.log(metrics, self.global_step)
+            if cfg.train.video_every and self.global_step % cfg.train.video_every == 0:
+                self._dump_videos(host_batch, metrics, f"train/epoch{epoch}", self.global_step)
+            if (
+                cfg.train.checkpoint_every_steps
+                and self.global_step % cfg.train.checkpoint_every_steps == 0
+            ):
+                self.ckpt.save(self.global_step, self.model, self.optimizer)
+            if self.shutdown.should_stop:
+                self.ckpt.save(self.global_step, self.model, self.optimizer)
+                self.ckpt.wait()
+                return False
+        self.ckpt.save(self.global_step, self.model, self.optimizer)
+        return True
+
+    def run_eval(self, epoch: int) -> Optional[dict]:
+        cfg = self.cfg
+        if not cfg.data.eval_dir and not cfg.data.synthetic:
+            return None
+        plan = curriculum_plan(cfg, epoch)
+        data_cfg = cfg.data.replace(batch_size=plan.batch_size, max_frames=plan.max_frames)
+        loader = create_dataloader(
+            data_cfg,
+            seed=cfg.data.seed + 10_000 + epoch,
+            base_dir=cfg.data.eval_dir,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+        )
+        totals, count = {}, 0
+        for i, host_batch in enumerate(loader):
+            batch = shard_process_local_batch(host_batch, self.mesh)
+            hp = self.hparams_for_step(self.global_step)
+            with activate_mesh(self.mesh):
+                metrics = self.eval_step(
+                    self.model, batch["video"], batch["mask"], self.rngs, hp
+                )
+            for key, val in metrics.items():
+                if getattr(val, "ndim", 1) == 0:
+                    totals[key] = totals.get(key, 0.0) + float(val)
+            count += 1
+        if count == 0:
+            return None
+        avg = {key: val / count for key, val in totals.items()}
+        self.logger.log(avg, self.global_step, prefix="eval_")
+        return avg
+
+    def fit(self) -> None:
+        for epoch in range(self.cfg.train.num_epochs):
+            if not self.run_epoch(epoch):
+                print("[trainer] graceful shutdown complete")
+                return
+            self.run_eval(epoch)
+        self.ckpt.wait()
