@@ -78,7 +78,8 @@ def test_batch_sharding_and_ingest(mesh222):
         "mask": np.ones((8, 4), np.float32),
     }
     sharded = shard_process_local_batch(batch, mesh222)
-    assert sharded["video"].sharding.spec == P(("data", "fsdp"))
+    # compare only the batch entry (PartitionSpec equality counts trailing Nones)
+    assert sharded["video"].sharding.spec[0] == ("data", "fsdp")
     # 8 samples over data×fsdp=4 → 2 per shard
     shard_shapes = {s.data.shape for s in sharded["video"].addressable_shards}
     assert shard_shapes == {(2, 4, 16, 16, 3)}
@@ -97,7 +98,7 @@ def test_constrain_applies_spec(mesh222):
 
     x = jax.device_put(jnp.zeros((8, 4)), batch_sharding(mesh222, 2))
     y = f(x)
-    assert y.sharding.spec == P(("data", "fsdp"))
+    assert y.sharding.spec[0] == ("data", "fsdp")
 
 
 def test_gradient_sync_replicated_params(mesh222):

@@ -188,12 +188,22 @@ def shard_process_local_batch(batch: dict, mesh: Mesh) -> dict:
     """Host-local numpy batch → global jax.Array.
 
     Multi-host equivalent of
-    /root/reference/claude_distributed/distributed_train.py:189-196.
+    /root/reference/claude_distributed/distributed_train.py:189-196. If the
+    global batch doesn't divide the data axes (tiny debug runs), the batch is
+    replicated instead of erroring — training still works, just without DP
+    speedup for that batch.
     """
+    procs = jax.process_count()
     out = {}
     for key, val in batch.items():
-        s = batch_sharding(mesh, np.ndim(val))
-        if jax.process_count() > 1:
+        ndim = np.ndim(val)
+        global_batch = np.shape(val)[0] * (procs if procs > 1 else 1)
+        spec = _prune_spec_for_shape(
+            mesh, (global_batch,) + tuple(np.shape(val)[1:]),
+            [("data", "fsdp")] + [None] * (ndim - 1),
+        )
+        s = NamedSharding(mesh, spec)
+        if procs > 1:
             out[key] = jax.make_array_from_process_local_data(s, np.asarray(val))
         else:
             out[key] = jax.device_put(val, s)
