@@ -9,7 +9,10 @@ from __future__ import annotations
 
 import functools
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -95,12 +98,15 @@ def main() -> None:
         return model.encoder.layers[0](t, attn_mask)
 
     def unet_only(model, f):
-        return model.decoder.unet(f) * 0 + f  # keep shape for chaining
+        # keep a REAL data dependency (x*0 would let XLA dead-code the unet):
+        # splice the 3-channel output back into the 12-channel carry, damped.
+        out = model.decoder.unet(f)
+        return jnp.concatenate([out, f[..., out.shape[-1]:]], axis=-1) * 0.9
 
     def unembed_only(model, t):
         cf, direct = model.decoder.patch_unembedding(t)
-        # reduce back to token shape to chain
-        return t + jnp.sum(direct.astype(jnp.float32)).astype(t.dtype) * 0
+        # real dependency, bounded carry
+        return t * 0.9 + jnp.mean(direct.astype(jnp.float32)).astype(t.dtype)
 
     results = {}
     for name, fn, x in [

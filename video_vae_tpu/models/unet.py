@@ -16,7 +16,46 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import nnx
 
+from video_vae_tpu.ops.conv3d import conv3d_direct
 from video_vae_tpu.parallel.sharding import constrain
+
+
+class Conv3D(nnx.Module):
+    """Stride-1 SAME NDHWC conv3d with per-shape backend dispatch.
+
+    Parameter names/shapes match nnx.Conv ({kernel, bias}, DHWIO kernel,
+    lecun-normal init) so checkpoints are interchangeable, but the forward
+    goes through ops/conv3d.py: Pallas direct kernel on large feature maps,
+    temporally-decomposed 2D convs for wide spatial kernels, XLA otherwise.
+    """
+
+    def __init__(
+        self,
+        in_features: int,
+        out_features: int,
+        kernel_size,
+        rngs: nnx.Rngs,
+        *,
+        kernel_init=None,
+        impl: str = "auto",
+        dtype=jnp.bfloat16,
+        param_dtype=jnp.float32,
+    ):
+        init = kernel_init or nnx.initializers.lecun_normal()
+        self.kernel = nnx.Param(
+            init(rngs.params(), (*kernel_size, in_features, out_features), param_dtype)
+        )
+        self.bias = nnx.Param(jnp.zeros((out_features,), param_dtype))
+        self.impl = impl
+        self.dtype = dtype
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return conv3d_direct(
+            x.astype(self.dtype),
+            self.kernel.value.astype(self.dtype),
+            self.bias.value.astype(jnp.float32),
+            self.impl,
+        )
 
 
 class ConvBlock3D(nnx.Module):
@@ -33,11 +72,10 @@ class ConvBlock3D(nnx.Module):
         dtype=jnp.bfloat16,
         param_dtype=jnp.float32,
     ):
-        self.conv = nnx.Conv(
+        self.conv = Conv3D(
             in_features=in_channels,
             out_features=out_channels,
             kernel_size=(temporal_kernel, kernel_size, kernel_size),
-            padding="SAME",
             dtype=dtype,
             param_dtype=param_dtype,
             rngs=rngs,
@@ -148,11 +186,10 @@ class UNet3D(nnx.Module):
         kw = dict(
             temporal_kernel=temporal_kernel, remat=remat, dtype=dtype, param_dtype=param_dtype
         )
-        self.patch_mixer = nnx.Conv(
+        self.patch_mixer = Conv3D(
             in_features=channels,
             out_features=channels,
             kernel_size=(temporal_kernel, 7, 7),
-            padding="SAME",
             dtype=dtype,
             param_dtype=param_dtype,
             rngs=rngs,
@@ -173,11 +210,10 @@ class UNet3D(nnx.Module):
             out_ch = base_features * (2**i)
             self.decoders.append(UpBlock3D(in_ch, out_ch, rngs, **kw))
             in_ch = out_ch
-        self.final_conv = nnx.Conv(
+        self.final_conv = Conv3D(
             in_features=base_features,
             out_features=out_features,
             kernel_size=(1, 1, 1),
-            padding="SAME",
             kernel_init=nnx.initializers.zeros,
             dtype=dtype,
             param_dtype=param_dtype,

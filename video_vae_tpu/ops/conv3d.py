@@ -1,0 +1,364 @@
+"""Direct 3D convolution Pallas kernel for small channel counts.
+
+Why: the UNet decoder head dominates the flagship forward (67 of 104 ms,
+tools/profile_components.py) because XLA's TPU conv emitter pads both channel
+dims of every (3,k,k) conv to the 128-lane MXU width — at cin=12/cout=16 that
+wastes ~99% of the systolic array. This kernel restores the lost contraction
+size by packing ALL kt·kh·kw taps into the matmul K dimension:
+
+    HBM → VMEM: the input stays in HBM; each grid step DMAs one halo'd
+                (kt, th+kh-1, w+kw-1, cin) row-tile window (manual async copy —
+                BlockSpecs cannot express overlapping halos, and a full frame
+                would blow VMEM after lane padding)
+    VMEM:       27 static shifted slices of that tile are stored at lane
+                offsets into an im2col scratch (th·w, kt·kh·kw·cin)
+    MXU:        ONE matmul (th·w, K) @ (K, cout) per tile, fp32 accumulate
+
+K = 324 for a (3,3,3)@cin12 conv vs XLA's per-tap effective K≈cin, so the MXU
+does ~27× more useful contraction per pass, and HBM sees the input ~kt times
+instead of kt·kh·kw times.
+
+Stride 1, SAME padding, NDHWC (the only conv shape the UNet/discriminator use;
+/root/reference/train/unet.py:13-21). Bias fused. Backward falls back to XLA
+(conv gradients are expressed with XLA convs via custom_vjp). Off-TPU the
+whole op falls back to XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _tap_stride(cin: int) -> int:
+    """Per-tap row stride in the im2col buffer: cin rounded up to the sublane
+    granularity (8) so every tap's store offset is aligned."""
+    return ((cin + 7) // 8) * 8
+
+
+def _pick_tile_h(h: int, n_taps: int, w: int, stride: int) -> Optional[int]:
+    """Largest row tile whose im2col scratch stays within ~7MB of VMEM.
+
+    Returns None when no tile ≥8 rows fits (output blocks need an 8-divisible
+    second-minor dim) — the caller falls back to XLA.
+    """
+    for th in (32, 16, 8):
+        if h % th:
+            continue
+        patches_bytes = n_taps * stride * th * w * 2
+        if patches_bytes <= 7 * 1024 * 1024:
+            return th
+    return None
+
+
+def pallas_conv_supported(x_shape, kernel_shape) -> bool:
+    """Shapes where the direct kernel is applicable and worth it."""
+    b, t, h, w, cin = x_shape
+    kt, kh, kw, _, cout = kernel_shape
+    if w % 128 or h % 8:
+        return False
+    n_taps = kt * kh * kw
+    th = _pick_tile_h(h, n_taps, w, _tap_stride(cin))
+    # small spatial extents: XLA's padded conv is fine and the per-tile
+    # overheads dominate — only take over the big-feature-map levels
+    return th is not None and h * w >= 128 * 128
+
+
+def _conv_kernel(
+    x_hbm, w_ref, b_ref, o_ref, in_buf, patches_ref, sem,
+    *, kt, kh, kw, cin, th, dma_rows, h, w, frames_t, stride,
+):
+    """Channels-first direct conv.
+
+    x_hbm:   (b, t+kt-1, cin, h_pad, w) — dense HBM (w=lane dim, no padding)
+    w_ref:   (cout_pad, K_pad) packed weights, tap rows strided by _TAP_STRIDE
+    o_ref:   block (1, cout, th, w)
+    in_buf:  (kt, cin, dma_rows, w) VMEM window (dma_rows ≥ th+kh-1, ×8)
+    patches: (K_pad, th·w) im2col, K in sublanes (aligned tap stride)
+    """
+    i = pl.program_id(0)
+    tiles_per_frame = h // th
+    frame = i // tiles_per_frame
+    b_idx = frame // frames_t
+    t_idx = frame % frames_t
+    row0 = (i % tiles_per_frame) * th
+
+    copy = pltpu.make_async_copy(
+        x_hbm.at[b_idx, pl.ds(t_idx, kt), :, pl.ds(row0, dma_rows), :],
+        in_buf,
+        sem,
+    )
+    copy.start()
+    # zero the whole im2col buffer so tap-stride pad rows can't hold stale
+    # garbage (0-weight × inf = NaN); overlaps with the DMA
+    patches_ref[:] = jnp.zeros_like(patches_ref)
+    copy.wait()
+
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (cin, th, w), dimension=2)
+    tap = 0
+    for dt in range(kt):
+        for dh in range(kh):
+            rows = in_buf[dt, :, dh : dh + th, :]  # (cin, th, w)
+            # Mosaic's lane rotate only handles 32-bit elements
+            rows32 = rows.astype(jnp.float32)
+            for dw in range(kw):
+                shift = dw - kw // 2  # e.g. −1, 0, +1 for kw=3
+                if shift == 0:
+                    piece = rows
+                elif shift < 0:
+                    # output col j reads input col j+shift: move data right
+                    piece = pltpu.roll(rows32, shift=(-shift) % w, axis=2)
+                    piece = jnp.where(col_ids < -shift, 0.0, piece).astype(rows.dtype)
+                else:
+                    piece = pltpu.roll(rows32, shift=(-shift) % w, axis=2)
+                    piece = jnp.where(col_ids >= w - shift, 0.0, piece).astype(rows.dtype)
+                patches_ref[tap * stride : tap * stride + cin, :] = (
+                    piece.reshape(cin, th * w)
+                )
+                tap += 1
+    out = jnp.dot(
+        w_ref[:], patches_ref[:], preferred_element_type=jnp.float32
+    )  # (cout_pad, th·w)
+    out = out + b_ref[:].astype(jnp.float32)
+    cout = o_ref.shape[1]
+    o_ref[0] = out[:cout].reshape(cout, th, w).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _conv3d_pallas(x, kernel, bias, interpret=False):
+    b, t, h, w, cin = x.shape
+    kt, kh, kw, _, cout = kernel.shape
+    n_taps = kt * kh * kw
+    stride = _tap_stride(cin)
+    th = _pick_tile_h(h, n_taps, w, stride)
+    k_pad = n_taps * stride
+    cout_pad = max(128, ((cout + 127) // 128) * 128)
+
+    # channels-first, t-SAME-padded, h padded so every aligned DMA window of
+    # dma_rows rows starting at multiples of th stays in bounds.
+    dma_rows = ((th + kh - 1 + 7) // 8) * 8
+    h_pad = (h // th - 1) * th + dma_rows
+    xq = jnp.transpose(x, (0, 1, 4, 2, 3))  # (b, t, cin, h, w)
+    xq = jnp.pad(
+        xq,
+        ((0, 0), (kt // 2, kt // 2), (0, 0), (kh // 2, h_pad - h - kh // 2), (0, 0)),
+    )
+
+    # weights → (cout_pad, K_pad): row tap*_TAP_STRIDE+ci holds W[dt,dh,dw,ci,:]
+    wmat = jnp.zeros((cout_pad, k_pad), kernel.dtype)
+    kflat = jnp.transpose(kernel, (4, 0, 1, 2, 3)).reshape(cout, n_taps, cin)
+    pad_ci = jnp.zeros((cout, n_taps, stride - cin), kernel.dtype)
+    packed = jnp.concatenate([kflat, pad_ci], axis=-1).reshape(cout, k_pad)
+    wmat = wmat.at[:cout].set(packed)
+    bias_col = jnp.zeros((cout_pad, 1), jnp.float32).at[:cout, 0].set(
+        bias.astype(jnp.float32)
+    )
+
+    tiles_per_frame = h // th
+    grid = (b * t * tiles_per_frame,)
+    out = pl.pallas_call(
+        functools.partial(
+            _conv_kernel,
+            kt=kt, kh=kh, kw=kw, cin=cin, th=th, dma_rows=dma_rows,
+            h=h, w=w, frames_t=t, stride=stride,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # manual halo DMA
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, cout, th, w),
+            lambda i: (i // (h // th), 0, i % (h // th), 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * t, cout, h, w), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((kt, cin, dma_rows, w), x.dtype),
+            pltpu.VMEM((k_pad, th * w), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xq, wmat, bias_col)
+    return jnp.transpose(out.reshape(b, t, cout, h, w), (0, 1, 3, 4, 2))
+
+
+@functools.lru_cache(maxsize=None)
+def _s2d_extent(k: int) -> int:
+    """Block-domain kernel extent for an original spatial extent k (factor 2)."""
+    lo = min((a + d) // 2 for a in (0, 1) for d in range(-(k // 2), k // 2 + 1))
+    hi = max((a + d) // 2 for a in (0, 1) for d in range(-(k // 2), k // 2 + 1))
+    return hi - lo + 1
+
+
+def _s2d_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
+    """Rearrange a (kt,kh,kw,ci,co) kernel into its space-to-depth equivalent.
+
+    Output (kt, EH, EW, 4ci, 4co) with phase-minor channel order (c, a, b):
+    W_s2d[DH,DW, ci·4+pa·2+pb, co·4+a·2+b] = W[dt, dh, dw, ci, co]
+    where for output phase a and tap offset d = dh−kh//2:
+    r = a + d, DH = floor(r/2), pa = r mod 2 (same for columns).
+    Pure index rearrangement + zero padding — mathematically identical conv.
+    """
+    kt, kh, kw, ci, co = kernel.shape
+    eh, ew = _s2d_extent(kh), _s2d_extent(kw)
+    oh, ow = eh // 2, ew // 2  # center offsets in block domain
+    out = jnp.zeros((kt, eh, ew, ci * 4, co * 4), kernel.dtype)
+    for a in (0, 1):
+        for b in (0, 1):
+            for dh in range(kh):
+                for dw in range(kw):
+                    rh = a + (dh - kh // 2)
+                    rw = b + (dw - kw // 2)
+                    DH, pa = rh // 2 + oh, rh % 2
+                    DW, pb = rw // 2 + ow, rw % 2
+                    # rows: input channel ci at phase (pa,pb); cols: co at (a,b)
+                    out = out.at[
+                        :, DH, DW, pa * 2 + pb :: 4, a * 2 + b :: 4
+                    ].set(kernel[:, dh, dw, :, :])
+    return out
+
+
+def conv3d_s2d(x, kernel, bias):
+    """Exact stride-1 SAME conv via space-to-depth (factor 2).
+
+    (b,t,H,W,C) → pack 2×2 pixel phases into channels → conv at (H/2, W/2)
+    with 4× the channels on both sides → unpack. Identical math, but the MXU
+    sees 4ci×4co channel blocks instead of the tiny ci×co that XLA pads to
+    128 lanes — the decisive fix for this model's 12-64 channel UNet convs.
+    """
+    b, t, h, w, c = x.shape
+    kt, kh, kw, _, cout = kernel.shape
+    # phase-minor packing: channel index = c·4 + a·2 + b
+    xs = x.reshape(b, t, h // 2, 2, w // 2, 2, c)
+    xs = jnp.transpose(xs, (0, 1, 2, 4, 6, 3, 5)).reshape(b, t, h // 2, w // 2, c * 4)
+    ks = _s2d_kernel(kernel).astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        xs, ks, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    y = y + jnp.repeat(bias.astype(jnp.float32), 4)
+    y = y.reshape(b, t, h // 2, w // 2, cout, 2, 2)
+    y = jnp.transpose(y, (0, 1, 2, 5, 3, 6, 4)).reshape(b, t, h, w, cout)
+    return y.astype(x.dtype)
+
+
+def conv3d_decomposed2d(x, kernel, bias):
+    """(kt,kh,kw) conv as kt temporally-shifted 2D convs (identical math).
+
+    XLA's 2D conv emitter beats its 3D path on wide spatial kernels — the
+    (3,7,7) UNet patch-mixer runs ~1.7× faster this way (tools/bench_conv3d.py).
+    """
+    b, t, h, w, c = x.shape
+    kt = kernel.shape[0]
+    cout = kernel.shape[-1]
+    pad = kt // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0)))
+    y = None
+    for dt in range(kt):
+        xt = jax.lax.dynamic_slice_in_dim(xp, dt, t, axis=1).reshape(b * t, h, w, c)
+        part = jax.lax.conv_general_dilated(
+            xt, kernel[dt], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        y = part if y is None else y + part
+    y = y + bias.astype(jnp.float32)
+    return y.reshape(b, t, h, w, cout).astype(x.dtype)
+
+
+def _conv3d_xla(x, kernel, bias):
+    y = jax.lax.conv_general_dilated(
+        x, kernel, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return (y + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def conv3d_direct(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray,
+    impl: str = "auto",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Stride-1 SAME NDHWC conv3d.
+
+    impl: "auto" picks per shape — Pallas direct kernel on TPU for large
+    feature maps, temporal-decomposed 2D convs for wide spatial kernels
+    (kh>3, e.g. the 7×7 patch mixer), plain XLA conv3d otherwise.
+    """
+    on_tpu = jax.devices()[0].platform == "tpu"
+    even_hw = x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0
+    if impl == "auto":
+        # per-shape winners measured on v5e (tools/bench_conv*.py):
+        # wide spatial kernels -> space-to-depth (6.7x on the 7x7 mixer);
+        # 3x3 at large maps -> the Pallas direct kernel; small maps -> s2d
+        # when even, else XLA.
+        if on_tpu and kernel.shape[1] > 3 and x.shape[2] * x.shape[3] >= 128 * 128:
+            impl = "decomposed"
+        elif (on_tpu or interpret) and kernel.shape[1] <= 3 and pallas_conv_supported(
+            x.shape, kernel.shape
+        ):
+            impl = "pallas"
+        elif on_tpu and kernel.shape[1] <= 3 and even_hw and x.shape[2] >= 32:
+            impl = "s2d"
+        else:
+            impl = "xla"
+    if impl == "pallas":
+        return _conv3d_pallas(x, kernel, bias, interpret=interpret)
+    if impl == "s2d":
+        return conv3d_s2d(x, kernel, bias)
+    if impl == "decomposed":
+        return conv3d_decomposed2d(x, kernel, bias)
+    return _conv3d_xla(x, kernel, bias)
+
+
+def _conv3d_fwd(x, kernel, bias, impl, interpret):
+    return conv3d_direct(x, kernel, bias, impl, interpret), (x, kernel)
+
+
+def _conv3d_bwd(impl, interpret, residuals, g):
+    """Gradients via XLA convolutions (correct, not yet Pallas-accelerated).
+
+    dx: correlation of g with the spatially-flipped, IO-swapped kernel.
+    dw: correlation of x with g over the batch·spatial dims.
+    db: sum of g over batch·spatial dims.
+    """
+    x, kernel = residuals
+    g = g.astype(jnp.float32)
+    kt, kh, kw, cin, cout = kernel.shape
+    flipped = jnp.flip(kernel, axis=(0, 1, 2))  # (kt,kh,kw,cin,cout)
+    flipped = jnp.swapaxes(flipped, 3, 4)  # → (kt,kh,kw,cout,cin)
+    dx = jax.lax.conv_general_dilated(
+        g, flipped.astype(jnp.float32), (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    # weight grad: treat spatial dims as the contraction. Use conv with
+    # feature dims swapped into batch (standard wgrad formulation).
+    b, t, h, w, _ = x.shape
+    pad = ((kt // 2, kt // 2), (kh // 2, kh // 2), (kw // 2, kw // 2))
+    dw_ = jax.lax.conv_general_dilated(
+        jnp.transpose(x.astype(jnp.float32), (4, 1, 2, 3, 0)),  # C as batch, B as feature
+        jnp.transpose(g, (1, 2, 3, 0, 4)),  # (t,h,w,B,cout) as DHWIO
+        window_strides=(1, 1, 1),
+        padding=pad,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    )  # → (cin, kt, kh, kw, cout)
+    dkernel = jnp.transpose(dw_, (1, 2, 3, 0, 4)).astype(kernel.dtype)
+    dbias = jnp.sum(g, axis=(0, 1, 2, 3)).astype(jnp.float32)
+    return dx, dkernel, dbias
+
+
+conv3d_direct.defvjp(_conv3d_fwd, _conv3d_bwd)
