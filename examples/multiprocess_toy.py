@@ -9,11 +9,16 @@ collectives. Launch with scripts/launch_local_multiprocess.sh.
 from __future__ import annotations
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
 
 def main() -> None:
+    # env var alone is overridden in some environments (see CLAUDE.md)
+    jax.config.update("jax_platforms", "cpu")
     coord = os.environ["JAX_COORDINATOR_ADDRESS"]
     nprocs = int(os.environ["JAX_NUM_PROCESSES"])
     pid = int(os.environ["JAX_PROCESS_ID"])
