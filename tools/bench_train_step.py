@@ -1,0 +1,116 @@
+"""Slope-timed FULL training step of the flagship model on the real chip.
+
+Covers the complete workload: rollout-duplicated forward, truncated-VGG
+perceptual loss, all loss terms, backward, Adam update — chained K times inside
+one lax.scan over functional (model, optimizer) state so the tunnel's constant
+overhead cancels (see bench.py). remat is off (memory fits at this batch; remat
+cannot cross scan).
+
+    python tools/bench_train_step.py [--frames 16] [--batch 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from flax import nnx
+
+from video_vae_tpu.core.config import DynamicHParams, LossConfig, ModelConfig, OptimConfig
+from video_vae_tpu.losses.losses import vae_loss
+from video_vae_tpu.models.vae import VideoVAE
+from video_vae_tpu.train.setup import make_tx
+from video_vae_tpu.train.step import build_perceptual
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--frames", type=int, default=16)
+    parser.add_argument("--batch", type=int, default=1)
+    parser.add_argument("--no_perceptual", action="store_true")
+    args = parser.parse_args()
+
+    cfg = ModelConfig(remat=False)
+    loss_cfg = LossConfig(use_perceptual=not args.no_perceptual)
+    perceptual_fn = build_perceptual(loss_cfg)
+    tx = make_tx(OptimConfig())
+
+    model = nnx.jit(lambda: VideoVAE(cfg, nnx.Rngs(0, sampling=1)))()
+    optimizer = nnx.jit(lambda m: nnx.Optimizer(m, tx, wrt=nnx.Param))(model)
+    m_def, m_state = nnx.split(model)
+    o_def, o_state = nnx.split(optimizer)
+
+    b, t = args.batch, args.frames
+    video = jax.random.uniform(
+        jax.random.key(0), (b, t, cfg.height, cfg.width, cfg.channels), jnp.bfloat16
+    )
+    mask = jnp.ones((b, t), jnp.float32)
+    hp = DynamicHParams.default()
+
+    @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(0, 1))
+    def chained(m_state, o_state, video, mask, k):
+        def body(carry, i):
+            m_state, o_state = carry
+            model = nnx.merge(m_def, m_state)
+            optimizer = nnx.merge(o_def, o_state)
+            rngs = nnx.Rngs(sampling=jax.random.fold_in(jax.random.key(7), i))
+
+            def loss_fn(model, rngs):
+                out = model(video, mask, rngs, train=True)
+                loss, _ = vae_loss(out, video, mask, hp, loss_cfg, perceptual_fn)
+                return loss
+
+            loss, grads = nnx.value_and_grad(loss_fn)(model, rngs)
+            optimizer.update(model, grads)
+            _, m_state2 = nnx.split(model)
+            _, o_state2 = nnx.split(optimizer)
+            return (m_state2, o_state2), loss
+
+        (m_state, o_state), losses = jax.lax.scan(
+            body, (m_state, o_state), jnp.arange(k)
+        )
+        return jnp.sum(losses), m_state, o_state
+
+    def timed(k):
+        t0 = time.perf_counter()
+        total, m2, o2 = chained(m_state, o_state, video, mask, k)
+        float(total)
+        return time.perf_counter() - t0, m2, o2
+
+    print("[bench_train_step] compiling (fwd+bwd, this is the big one)...", flush=True)
+    k_short, k_long = 1, 5
+    # NOTE: donation means we must re-feed the returned states
+    dt, m2, o2 = timed(k_short)
+    m_state, o_state = m2, o2
+    dt, m2, o2 = timed(k_long)
+    m_state, o_state = m2, o2
+    slopes = []
+    for _ in range(2):
+        t1, m2, o2 = timed(k_short)
+        m_state, o_state = m2, o2
+        t2, m2, o2 = timed(k_long)
+        m_state, o_state = m2, o2
+        slopes.append((t2 - t1) / (k_long - k_short))
+    per_step = min(slopes)
+    print(
+        f"[bench_train_step] flagship train step b{b}x{t}f: {per_step*1e3:.1f} ms "
+        f"({b / per_step:.3f} clips/sec/chip), perceptual={not args.no_perceptual}"
+    )
+
+
+if __name__ == "__main__":
+    main()

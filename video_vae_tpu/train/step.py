@@ -60,6 +60,13 @@ def make_train_step(
 
         grad_fn = nnx.value_and_grad(loss_for_grad, has_aux=True)
         (loss, metrics), grads = grad_fn(model, rngs)
+        # gradient-health telemetry (parity: print_max_grad / param_norm probes,
+        # rl_nonadversarial.py:74-92, distributed_train.py:482-486) — scalars in
+        # the metrics dict, no in-graph prints
+        from video_vae_tpu.utils.debug import global_max_abs, global_norm
+
+        metrics["grad_norm"] = global_norm(grads)
+        metrics["max_grad"] = global_max_abs(grads)
         optimizer.update(model, grads)
         return metrics
 
