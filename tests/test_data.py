@@ -147,3 +147,26 @@ def test_native_loader(tmp_path):
     bad_idx = 1  # sorted order: a.mp4, bad.mp4
     assert batches[0]["video"][bad_idx].max() == 0.0
     assert batches[0]["mask"][bad_idx].min() == 1.0
+
+
+@pytest.mark.skipif(not HAVE_CV2, reason="OpenCV unavailable")
+def test_grain_backend(tmp_path):
+    """The grain pipeline (in-process workers) yields correct batches."""
+    pytest.importorskip("grain.python")
+    shard = os.path.join(tmp_path, "videos0")
+    os.makedirs(shard)
+    rng = np.random.default_rng(0)
+    for name in ("a", "b", "c", "d"):
+        write_video(
+            {"video": rng.random((5, 48, 48, 3)).astype(np.float32)},
+            os.path.join(shard, f"{name}.mp4"),
+        )
+    cfg = DataConfig(base_dir=str(tmp_path), batch_size=2, max_frames=6,
+                     resize=(32, 32), crop_size=40, backend="grain",
+                     num_workers=0, shuffle=True)
+    batches = list(create_dataloader(cfg, seed=3))
+    assert len(batches) == 2
+    assert batches[0]["video"].shape == (2, 6, 32, 32, 3)
+    assert batches[0]["mask"].shape == (2, 6)
+    # 5 real frames → mask sums to 5, last frame zero-padded
+    assert set(np.asarray(batches[0]["mask"]).sum(axis=1)) == {5.0}

@@ -103,7 +103,7 @@ def test_trainer_smoke(tmp_path):
         data=cfg.data.replace(synthetic=True, synthetic_num_clips=4, batch_size=2,
                               backend="threaded"),
         train=cfg.train.replace(
-            num_epochs=1, curriculum=False, log_every=1, video_every=0,
+            num_epochs=1, curriculum=False, log_every=1, video_every=2,
             checkpoint_every_steps=0,
             checkpoint_dir=os.path.join(tmp_path, "ckpts"),
             video_save_dir=os.path.join(tmp_path, "videos"),
@@ -115,6 +115,15 @@ def test_trainer_smoke(tmp_path):
     trainer.ckpt.wait()
     # metrics jsonl written
     assert os.path.exists(os.path.join(tmp_path, "ckpts", "train.jsonl"))
+    # qualitative video dump path (step 2 triggers video_every=2)
+    dump_dir = os.path.join(tmp_path, "videos", "train", "epoch0")
+    try:
+        import cv2  # noqa: F401
+
+        assert os.path.exists(os.path.join(dump_dir, "step2_recon.mp4"))
+        assert os.path.exists(os.path.join(dump_dir, "step2_original.mp4"))
+    except ImportError:
+        pass
     # eval pass over synthetic data works
     stats = trainer.run_eval(0)
     assert stats is not None and np.isfinite(stats["loss"])
