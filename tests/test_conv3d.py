@@ -50,3 +50,21 @@ def test_custom_vjp_gradients_match_xla():
     g_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(x, kern, bias)
     for a, b in zip(g_direct, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3)
+
+
+def test_conv_transpose_2x_matches_flax():
+    from flax import nnx
+
+    from video_vae_tpu.models.unet import ConvTranspose2x
+
+    ref = nnx.ConvTranspose(
+        in_features=3, out_features=5, kernel_size=(1, 2, 2), strides=(1, 2, 2),
+        rngs=nnx.Rngs(0),
+    )
+    ours = ConvTranspose2x(3, 5, rngs=nnx.Rngs(1), dtype=jnp.float32)
+    ours.kernel.value = ref.kernel.value
+    ours.bias.value = ref.bias.value
+    x = jax.random.normal(jax.random.key(1), (2, 2, 4, 4, 3))
+    np.testing.assert_allclose(
+        np.asarray(ours(x)), np.asarray(ref(x)), atol=1e-5, rtol=1e-5
+    )

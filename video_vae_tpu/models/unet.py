@@ -58,6 +58,44 @@ class Conv3D(nnx.Module):
         )
 
 
+class ConvTranspose2x(nnx.Module):
+    """Spatial 2× transpose conv with kernel=strides=(1,2,2), as one matmul.
+
+    A stride-2 kernel-2 transpose conv has non-overlapping output blocks:
+    y[t, 2i+a, 2j+b] = Σ_ci W̃[a,b,ci,co] · x[t,i,j,ci] — a (voxels, cin) @
+    (cin, 4·cout) matmul plus depth-to-space, where W̃ is the spatially
+    flipped kernel (lax.conv_transpose convention, verified numerically
+    against nnx.ConvTranspose). Param names/shapes match nnx.ConvTranspose
+    for checkpoint compatibility; the matmul avoids XLA's transpose-conv
+    lowering entirely.
+    """
+
+    def __init__(
+        self,
+        in_features: int,
+        out_features: int,
+        rngs: nnx.Rngs,
+        *,
+        dtype=jnp.bfloat16,
+        param_dtype=jnp.float32,
+    ):
+        init = nnx.initializers.lecun_normal()
+        self.kernel = nnx.Param(
+            init(rngs.params(), (1, 2, 2, in_features, out_features), param_dtype)
+        )
+        self.bias = nnx.Param(jnp.zeros((out_features,), param_dtype))
+        self.dtype = dtype
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, t, h, w, cin = x.shape
+        cout = self.kernel.value.shape[-1]
+        wk = self.kernel.value[0][::-1, ::-1].astype(self.dtype)  # (2,2,ci,co), flipped
+        wmat = jnp.transpose(wk, (2, 0, 1, 3)).reshape(cin, 4 * cout)
+        y = (x.astype(self.dtype) @ wmat).reshape(b, t, h, w, 2, 2, cout)
+        y = jnp.transpose(y, (0, 1, 2, 4, 3, 5, 6)).reshape(b, t, 2 * h, 2 * w, cout)
+        return y + self.bias.value.astype(self.dtype)
+
+
 class ConvBlock3D(nnx.Module):
     """Conv3D (t_k,k,k) SAME → GroupNorm(≤8 groups) → SiLU."""
 
@@ -140,11 +178,9 @@ class UpBlock3D(nnx.Module):
         param_dtype=jnp.float32,
     ):
         kw = dict(temporal_kernel=temporal_kernel, dtype=dtype, param_dtype=param_dtype)
-        self.upsample = nnx.ConvTranspose(
+        self.upsample = ConvTranspose2x(
             in_features=in_channels,
             out_features=out_channels,
-            kernel_size=(1, 2, 2),
-            strides=(1, 2, 2),
             dtype=dtype,
             param_dtype=param_dtype,
             rngs=rngs,
