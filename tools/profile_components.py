@@ -57,11 +57,13 @@ def main() -> None:
     tokens = jax.random.normal(
         jax.random.key(1), (BATCH, FRAMES, cfg.num_patches, cfg.embed_dim), jnp.bfloat16
     )
-    conv_features = jax.random.normal(
-        jax.random.key(2),
-        (BATCH, FRAMES, cfg.height, cfg.width, cfg.channels * cfg.unembedding_upsample_rate),
-        jnp.bfloat16,
+    conv_ch = cfg.channels * cfg.unembedding_upsample_rate
+    conv_shape = (
+        (BATCH, FRAMES, conv_ch, cfg.height, cfg.width)
+        if cfg.unet_layout == "cf"
+        else (BATCH, FRAMES, cfg.height, cfg.width, conv_ch)
     )
+    conv_features = jax.random.normal(jax.random.key(2), conv_shape, jnp.bfloat16)
 
     def make_chained(body_fn):
         @functools.partial(jax.jit, static_argnums=(2,))
@@ -97,11 +99,17 @@ def main() -> None:
     def one_block(model, t):
         return model.encoder.layers[0](t, attn_mask)
 
+    ch_axis = 2 if cfg.unet_layout == "cf" else -1
+
     def unet_only(model, f):
         # keep a REAL data dependency (x*0 would let XLA dead-code the unet):
         # splice the 3-channel output back into the 12-channel carry, damped.
         out = model.decoder.unet(f)
-        return jnp.concatenate([out, f[..., out.shape[-1]:]], axis=-1) * 0.9
+        if cfg.unet_layout == "cf":
+            rest = f[:, :, out.shape[2]:]
+        else:
+            rest = f[..., out.shape[-1]:]
+        return jnp.concatenate([out, rest], axis=ch_axis) * 0.9
 
     def unembed_only(model, t):
         cf, direct = model.decoder.patch_unembedding(t)

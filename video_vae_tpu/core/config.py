@@ -62,6 +62,10 @@ class ModelConfig:
     unet_base_features: int = 16
     unet_levels: int = 3
     temporal_kernel: int = 3
+    # Activation layout inside the UNet: "cf" (channels-first end-to-end — no
+    # per-conv layout transposes around the Pallas direct kernel) or "nhwc".
+    # Parameters/checkpoints are identical either way.
+    unet_layout: str = "cf"
 
     # RoPE (/root/reference/train/layers.py:85-102).
     rope_max_len: int = 8192
@@ -81,6 +85,7 @@ class ModelConfig:
         assert self.qkv_features % self.num_heads == 0
         assert self.selection_mode in ("rl", "ste", "none")
         assert self.attention_impl in ("xla", "pallas")
+        assert self.unet_layout in ("nhwc", "cf")
 
     @property
     def grid_h(self) -> int:

@@ -85,6 +85,7 @@ class PatchUnEmbedding(nnx.Module):
         upsample_rate: int,
         rngs: nnx.Rngs,
         *,
+        conv_layout: str = "nhwc",
         dtype=jnp.bfloat16,
         param_dtype=jnp.float32,
     ):
@@ -93,6 +94,8 @@ class PatchUnEmbedding(nnx.Module):
         self.height = height
         self.width = width
         self.upsample_rate = upsample_rate
+        self.conv_layout = conv_layout
+        self.dtype = dtype
         self.linear = nnx.Linear(dim, dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
         self.upsample = nnx.Linear(
             dim, dim * upsample_rate, dtype=dtype, param_dtype=param_dtype, rngs=rngs
@@ -104,15 +107,29 @@ class PatchUnEmbedding(nnx.Module):
     def __call__(self, x: jnp.ndarray):
         x = self.linear(x)
         x = self.upsample(x)
-        conv_features = rearrange(
-            x,
-            "b t (h w) (p1 p2 c) -> b t (h p1) (w p2) c",
+        kw = dict(
             p1=self.patch_size,
             p2=self.patch_size,
             h=self.height // self.patch_size,
             w=self.width // self.patch_size,
         )
-        direct = self.downsample(conv_features)
+        if self.conv_layout == "cf":
+            # Emit channels-first features directly — the UNet's cf path then
+            # has zero layout transposes anywhere. The direct reconstruction
+            # applies the (c_up → c) Linear params over the cf channel axis.
+            conv_features = rearrange(
+                x, "b t (h w) (p1 p2 c) -> b t c (h p1) (w p2)", **kw
+            )
+            direct = jnp.einsum(
+                "btchw,cd->bthwd",
+                conv_features,
+                self.downsample.kernel.value.astype(self.dtype),
+            ) + self.downsample.bias.value.astype(self.dtype)
+        else:
+            conv_features = rearrange(
+                x, "b t (h w) (p1 p2 c) -> b t (h p1) (w p2) c", **kw
+            )
+            direct = self.downsample(conv_features)
         return conv_features, direct
 
 

@@ -5,10 +5,19 @@ Parity: /root/reference/train/unet.py:7-188 — (t_k,7,7) patch-mixer conv,
 convs, up blocks (spatial ConvTranspose + skip concat + 2×conv), zero-initialized
 1×1×1 final conv so the UNet starts as an identity residual.
 
-TPU notes: NDHWC (channels-last) layout throughout — the XLA TPU conv emitter
-tiles channels-last 3D convs onto the MXU; GroupNorm/SiLU fuse into the conv
-epilogue. Remat is config-gated per block (the reference hardwires it,
-/root/reference/train/unet.py:44,76).
+TPU notes: the UNet is the model's MXU-hostile region (3–64 channels vs the
+128-lane systolic array), so every conv goes through the per-shape dispatch in
+:mod:`video_vae_tpu.ops.conv3d`. Two activation layouts are supported:
+
+* ``layout="nhwc"`` — channels-last (b,t,h,w,c); XLA-friendly default off-TPU.
+* ``layout="cf"`` — channels-first (b,t,c,h,w) END-TO-END: the Pallas direct
+  kernel is internally channels-first, so this removes every per-conv
+  NDHWC↔NCDHW transpose (~0.8 ms × 6 big convs on v5e); GroupNorm+SiLU run
+  fused on the cf tensor (:mod:`video_vae_tpu.ops.norm`).
+
+Parameters are identical in both layouts (DHWIO kernels, nnx.GroupNorm
+scale/bias), so checkpoints are layout-independent. Remat is config-gated per
+block (the reference hardwires it, /root/reference/train/unet.py:44,76).
 """
 
 from __future__ import annotations
@@ -16,12 +25,13 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import nnx
 
-from video_vae_tpu.ops.conv3d import conv3d_direct
+from video_vae_tpu.ops.conv3d import conv3d_cf, conv3d_direct
+from video_vae_tpu.ops.norm import group_norm_cf, max_pool_2x_cf
 from video_vae_tpu.parallel.sharding import constrain
 
 
 class Conv3D(nnx.Module):
-    """Stride-1 SAME NDHWC conv3d with per-shape backend dispatch.
+    """Stride-1 SAME conv3d with per-shape backend dispatch.
 
     Parameter names/shapes match nnx.Conv ({kernel, bias}, DHWIO kernel,
     lecun-normal init) so checkpoints are interchangeable, but the forward
@@ -57,6 +67,15 @@ class Conv3D(nnx.Module):
             self.impl,
         )
 
+    def call_cf(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Channels-first forward: (b, t, c, h, w) → (b, t, cout, h, w)."""
+        return conv3d_cf(
+            x.astype(self.dtype),
+            self.kernel.value.astype(self.dtype),
+            self.bias.value.astype(jnp.float32),
+            self.impl,
+        )
+
 
 class ConvTranspose2x(nnx.Module):
     """Spatial 2× transpose conv with kernel=strides=(1,2,2), as one matmul.
@@ -86,14 +105,26 @@ class ConvTranspose2x(nnx.Module):
         self.bias = nnx.Param(jnp.zeros((out_features,), param_dtype))
         self.dtype = dtype
 
+    def _wmat(self):
+        wk = self.kernel.value[0][::-1, ::-1].astype(self.dtype)  # (2,2,ci,co), flipped
+        return jnp.transpose(wk, (2, 0, 1, 3)).reshape(
+            wk.shape[2], 4 * wk.shape[3]
+        )  # (ci, (a,b,co)) phase-major
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, t, h, w, cin = x.shape
         cout = self.kernel.value.shape[-1]
-        wk = self.kernel.value[0][::-1, ::-1].astype(self.dtype)  # (2,2,ci,co), flipped
-        wmat = jnp.transpose(wk, (2, 0, 1, 3)).reshape(cin, 4 * cout)
-        y = (x.astype(self.dtype) @ wmat).reshape(b, t, h, w, 2, 2, cout)
+        y = (x.astype(self.dtype) @ self._wmat()).reshape(b, t, h, w, 2, 2, cout)
         y = jnp.transpose(y, (0, 1, 2, 4, 3, 5, 6)).reshape(b, t, 2 * h, 2 * w, cout)
         return y + self.bias.value.astype(self.dtype)
+
+    def call_cf(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, t, cin, h, w = x.shape
+        cout = self.kernel.value.shape[-1]
+        y = jnp.einsum("btchw,ck->btkhw", x.astype(self.dtype), self._wmat())
+        y = y.reshape(b, t, 2, 2, cout, h, w)
+        y = jnp.transpose(y, (0, 1, 4, 5, 2, 6, 3)).reshape(b, t, cout, 2 * h, 2 * w)
+        return y + self.bias.value.astype(self.dtype)[None, None, :, None, None]
 
 
 class ConvBlock3D(nnx.Module):
@@ -107,9 +138,11 @@ class ConvBlock3D(nnx.Module):
         rngs: nnx.Rngs,
         *,
         temporal_kernel: int = 3,
+        layout: str = "nhwc",
         dtype=jnp.bfloat16,
         param_dtype=jnp.float32,
     ):
+        self.layout = layout
         self.conv = Conv3D(
             in_features=in_channels,
             out_features=out_channels,
@@ -127,6 +160,15 @@ class ConvBlock3D(nnx.Module):
         )
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.layout == "cf":
+            y = self.conv.call_cf(x)
+            return group_norm_cf(
+                y,
+                self.norm.scale.value,
+                self.norm.bias.value,
+                self.norm.num_groups,
+                silu=True,
+            )
         return nnx.silu(self.norm(self.conv(x)))
 
 
@@ -141,20 +183,27 @@ class DownBlock3D(nnx.Module):
         *,
         temporal_kernel: int = 3,
         remat: bool = True,
+        layout: str = "nhwc",
         dtype=jnp.bfloat16,
         param_dtype=jnp.float32,
     ):
-        kw = dict(temporal_kernel=temporal_kernel, dtype=dtype, param_dtype=param_dtype)
+        kw = dict(
+            temporal_kernel=temporal_kernel, layout=layout, dtype=dtype, param_dtype=param_dtype
+        )
         self.conv1 = ConvBlock3D(in_channels, out_channels, 3, rngs, **kw)
         self.conv2 = ConvBlock3D(out_channels, out_channels, 3, rngs, **kw)
         self.use_remat = remat
+        self.layout = layout
 
     def _forward(self, x):
         x = self.conv1(x)
         x = self.conv2(x)
         skip = x
         # Spatial-only pooling; the temporal axis is preserved.
-        x = nnx.max_pool(x, window_shape=(1, 2, 2), strides=(1, 2, 2))
+        if self.layout == "cf":
+            x = max_pool_2x_cf(x)
+        else:
+            x = nnx.max_pool(x, window_shape=(1, 2, 2), strides=(1, 2, 2))
         return x, skip
 
     def __call__(self, x: jnp.ndarray):
@@ -174,10 +223,13 @@ class UpBlock3D(nnx.Module):
         *,
         temporal_kernel: int = 3,
         remat: bool = True,
+        layout: str = "nhwc",
         dtype=jnp.bfloat16,
         param_dtype=jnp.float32,
     ):
-        kw = dict(temporal_kernel=temporal_kernel, dtype=dtype, param_dtype=param_dtype)
+        kw = dict(
+            temporal_kernel=temporal_kernel, layout=layout, dtype=dtype, param_dtype=param_dtype
+        )
         self.upsample = ConvTranspose2x(
             in_features=in_channels,
             out_features=out_channels,
@@ -188,10 +240,15 @@ class UpBlock3D(nnx.Module):
         self.conv1 = ConvBlock3D(out_channels * 2, out_channels, 3, rngs, **kw)
         self.conv2 = ConvBlock3D(out_channels, out_channels, 3, rngs, **kw)
         self.use_remat = remat
+        self.layout = layout
 
     def _forward(self, x, skip):
-        x = self.upsample(x)
-        x = jnp.concatenate([x, skip], axis=-1)
+        if self.layout == "cf":
+            x = self.upsample.call_cf(x)
+            x = jnp.concatenate([x, skip], axis=2)
+        else:
+            x = self.upsample(x)
+            x = jnp.concatenate([x, skip], axis=-1)
         x = self.conv1(x)
         x = self.conv2(x)
         return x
@@ -203,7 +260,11 @@ class UpBlock3D(nnx.Module):
 
 
 class UNet3D(nnx.Module):
-    """(b,t,h,w,c_in) → (b,t,h,w,c_out), zero-init output."""
+    """(b,t,h,w,c_in) → (b,t,h,w,c_out) (or channels-first both ways), zero-init output.
+
+    ``layout="cf"`` expects (b,t,c,h,w) in AND out — the decoder produces
+    conv features channels-first so no transpose exists anywhere in the path.
+    """
 
     def __init__(
         self,
@@ -215,12 +276,16 @@ class UNet3D(nnx.Module):
         *,
         temporal_kernel: int = 3,
         remat: bool = True,
+        layout: str = "nhwc",
         dtype=jnp.bfloat16,
         param_dtype=jnp.float32,
     ):
+        assert layout in ("nhwc", "cf")
         self.dtype = dtype
+        self.layout = layout
         kw = dict(
-            temporal_kernel=temporal_kernel, remat=remat, dtype=dtype, param_dtype=param_dtype
+            temporal_kernel=temporal_kernel, remat=remat, layout=layout,
+            dtype=dtype, param_dtype=param_dtype,
         )
         self.patch_mixer = Conv3D(
             in_features=channels,
@@ -237,7 +302,9 @@ class UNet3D(nnx.Module):
             self.encoders.append(DownBlock3D(in_ch, out_ch, rngs, **kw))
             in_ch = out_ch
         bottleneck_ch = base_features * (2**num_levels)
-        cb_kw = dict(temporal_kernel=temporal_kernel, dtype=dtype, param_dtype=param_dtype)
+        cb_kw = dict(
+            temporal_kernel=temporal_kernel, layout=layout, dtype=dtype, param_dtype=param_dtype
+        )
         self.bottleneck1 = ConvBlock3D(in_ch, bottleneck_ch, 3, rngs, **cb_kw)
         self.bottleneck2 = ConvBlock3D(bottleneck_ch, bottleneck_ch, 3, rngs, **cb_kw)
         self.decoders = nnx.List([])
@@ -257,9 +324,13 @@ class UNet3D(nnx.Module):
         )
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        layout = self.layout
         x = x.astype(self.dtype)
         x = constrain(x, ("data", "fsdp"))
-        x = self.patch_mixer(x)
+        if layout == "cf":
+            x = self.patch_mixer.call_cf(x)
+        else:
+            x = self.patch_mixer(x)
         skips = []
         for encoder in self.encoders:
             x, skip = encoder(x)
@@ -268,4 +339,6 @@ class UNet3D(nnx.Module):
         x = self.bottleneck2(x)
         for decoder, skip in zip(self.decoders, reversed(skips)):
             x = decoder(x, skip)
+        if layout == "cf":
+            return self.final_conv.call_cf(x)
         return self.final_conv(x)

@@ -138,6 +138,7 @@ class Decoder(nnx.Module):
             cfg.patch_size,
             cfg.unembedding_upsample_rate,
             rngs,
+            conv_layout=cfg.unet_layout,
             dtype=dtype,
             param_dtype=pdtype,
         )
@@ -149,6 +150,7 @@ class Decoder(nnx.Module):
             rngs=rngs,
             temporal_kernel=cfg.temporal_kernel,
             remat=cfg.remat,
+            layout=cfg.unet_layout,
             dtype=dtype,
             param_dtype=pdtype,
         )
@@ -158,7 +160,11 @@ class Decoder(nnx.Module):
         for layer in self.layers:
             x = layer(x, attn_mask)
         conv_features, direct = self.patch_unembedding(x)
-        return direct + self.unet(conv_features)
+        unet_out = self.unet(conv_features)
+        if self.unet.layout == "cf":
+            # one small (b,t,3,H,W) transpose back to pixel layout
+            unet_out = jnp.transpose(unet_out, (0, 1, 3, 4, 2))
+        return direct + unet_out
 
 
 class VideoVAE(nnx.Module):

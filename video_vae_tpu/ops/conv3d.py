@@ -130,8 +130,9 @@ def _conv_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _conv3d_pallas(x, kernel, bias, interpret=False):
-    b, t, h, w, cin = x.shape
+def _conv3d_pallas_cf(xq, kernel, bias, interpret=False):
+    """Pallas direct conv on channels-first input (b, t, cin, h, w) → same layout."""
+    b, t, cin, h, w = xq.shape
     kt, kh, kw, _, cout = kernel.shape
     n_taps = kt * kh * kw
     stride = _tap_stride(cin)
@@ -139,11 +140,10 @@ def _conv3d_pallas(x, kernel, bias, interpret=False):
     k_pad = n_taps * stride
     cout_pad = max(128, ((cout + 127) // 128) * 128)
 
-    # channels-first, t-SAME-padded, h padded so every aligned DMA window of
-    # dma_rows rows starting at multiples of th stays in bounds.
+    # t-SAME-padded, h padded so every aligned DMA window of dma_rows rows
+    # starting at multiples of th stays in bounds.
     dma_rows = ((th + kh - 1 + 7) // 8) * 8
     h_pad = (h // th - 1) * th + dma_rows
-    xq = jnp.transpose(x, (0, 1, 4, 2, 3))  # (b, t, cin, h, w)
     xq = jnp.pad(
         xq,
         ((0, 0), (kt // 2, kt // 2), (0, 0), (kh // 2, h_pad - h - kh // 2), (0, 0)),
@@ -178,15 +178,22 @@ def _conv3d_pallas(x, kernel, bias, interpret=False):
             lambda i: (i // (h // th), 0, i % (h // th), 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b * t, cout, h, w), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * t, cout, h, w), xq.dtype),
         scratch_shapes=[
-            pltpu.VMEM((kt, cin, dma_rows, w), x.dtype),
-            pltpu.VMEM((k_pad, th * w), x.dtype),
+            pltpu.VMEM((kt, cin, dma_rows, w), xq.dtype),
+            pltpu.VMEM((k_pad, th * w), xq.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(xq, wmat, bias_col)
-    return jnp.transpose(out.reshape(b, t, cout, h, w), (0, 1, 3, 4, 2))
+    return out.reshape(b, t, cout, h, w)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _conv3d_pallas(x, kernel, bias, interpret=False):
+    xq = jnp.transpose(x, (0, 1, 4, 2, 3))  # (b, t, cin, h, w)
+    out = _conv3d_pallas_cf(xq, kernel, bias, interpret=interpret)
+    return jnp.transpose(out, (0, 1, 3, 4, 2))
 
 
 @functools.lru_cache(maxsize=None)
@@ -362,3 +369,138 @@ def _conv3d_bwd(impl, interpret, residuals, g):
 
 
 conv3d_direct.defvjp(_conv3d_fwd, _conv3d_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Channels-first path (b, t, c, h, w)
+#
+# The UNet runs its activations channels-first end-to-end so the Pallas direct
+# kernel (internally channels-first) never pays per-call NDHWC↔NCDHW transposes
+# — measured at ~0.8 ms per 256² conv on v5e (CLAUDE.md round-1 backlog). The
+# fallback impls express the same conv through XLA dimension_numbers instead of
+# materialized transposes so XLA may fuse any layout change it still wants.
+# ---------------------------------------------------------------------------
+
+_CF_DIMS = ("NDCHW", "DHWIO", "NDCHW")  # (b, t, c, h, w) in, DHWIO kernel
+
+
+def _conv3d_xla_cf(x, kernel, bias):
+    y = jax.lax.conv_general_dilated(
+        x, kernel, (1, 1, 1), "SAME",
+        dimension_numbers=_CF_DIMS,
+        preferred_element_type=jnp.float32,
+    )
+    return (y + bias.astype(jnp.float32)[None, None, :, None, None]).astype(x.dtype)
+
+
+def conv3d_s2d_cf(x, kernel, bias):
+    """Space-to-depth (factor 2) conv, channels-first. Same math as conv3d_s2d."""
+    b, t, c, h, w = x.shape
+    kt, kh, kw, _, cout = kernel.shape
+    # phase-minor packing: channel index = c·4 + a·2 + b (matches _s2d_kernel)
+    xs = x.reshape(b, t, c, h // 2, 2, w // 2, 2)
+    xs = jnp.transpose(xs, (0, 1, 2, 4, 6, 3, 5)).reshape(b, t, c * 4, h // 2, w // 2)
+    ks = _s2d_kernel(kernel).astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        xs, ks, (1, 1, 1), "SAME",
+        dimension_numbers=_CF_DIMS,
+        preferred_element_type=jnp.float32,
+    )
+    y = y + jnp.repeat(bias.astype(jnp.float32), 4)[None, None, :, None, None]
+    y = y.reshape(b, t, cout, 2, 2, h // 2, w // 2)
+    y = jnp.transpose(y, (0, 1, 2, 5, 3, 6, 4)).reshape(b, t, cout, h, w)
+    return y.astype(x.dtype)
+
+
+def conv3d_decomposed2d_cf(x, kernel, bias):
+    """(kt,kh,kw) conv as kt temporally-shifted 2D convs, channels-first."""
+    b, t, c, h, w = x.shape
+    kt = kernel.shape[0]
+    cout = kernel.shape[-1]
+    pad = kt // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0)))
+    y = None
+    for dt in range(kt):
+        xt = jax.lax.dynamic_slice_in_dim(xp, dt, t, axis=1).reshape(b * t, c, h, w)
+        part = jax.lax.conv_general_dilated(
+            xt, kernel[dt], (1, 1), "SAME",
+            dimension_numbers=("NCHW", "HWIO", "NCHW"),
+            preferred_element_type=jnp.float32,
+        )
+        y = part if y is None else y + part
+    y = y + bias.astype(jnp.float32)[None, :, None, None]
+    return y.reshape(b, t, cout, h, w).astype(x.dtype)
+
+
+def _cf_auto_impl(x_shape, kernel_shape, on_tpu: bool, interpret: bool) -> str:
+    b, t, c, h, w = x_shape
+    even_hw = h % 2 == 0 and w % 2 == 0
+    if on_tpu and kernel_shape[1] > 3 and h * w >= 128 * 128:
+        return "decomposed"
+    if (on_tpu or interpret) and kernel_shape[1] <= 3 and pallas_conv_supported(
+        (b, t, h, w, c), kernel_shape
+    ):
+        return "pallas"
+    if on_tpu and kernel_shape[1] <= 3 and even_hw and h >= 32:
+        return "s2d"
+    return "xla"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def conv3d_cf(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray,
+    impl: str = "auto",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Stride-1 SAME conv3d on channels-first (b, t, c, h, w) activations.
+
+    Kernel stays DHWIO (checkpoint-compatible with the channels-last path).
+    """
+    if impl == "auto":
+        on_tpu = jax.devices()[0].platform == "tpu"
+        impl = _cf_auto_impl(x.shape, kernel.shape, on_tpu, interpret)
+    if impl == "pallas":
+        return _conv3d_pallas_cf(x, kernel, bias, interpret=interpret)
+    if impl == "s2d":
+        return conv3d_s2d_cf(x, kernel, bias)
+    if impl == "decomposed":
+        return conv3d_decomposed2d_cf(x, kernel, bias)
+    return _conv3d_xla_cf(x, kernel, bias)
+
+
+def _conv3d_cf_fwd(x, kernel, bias, impl, interpret):
+    return conv3d_cf(x, kernel, bias, impl, interpret), (x, kernel)
+
+
+def _conv3d_cf_bwd(impl, interpret, residuals, g):
+    """Gradients via XLA convolutions expressed directly in cf layout."""
+    x, kernel = residuals
+    g = g.astype(jnp.float32)
+    kt, kh, kw, cin, cout = kernel.shape
+    flipped = jnp.swapaxes(jnp.flip(kernel, axis=(0, 1, 2)), 3, 4)  # (kt,kh,kw,cout,cin)
+    dx = jax.lax.conv_general_dilated(
+        g, flipped.astype(jnp.float32), (1, 1, 1), "SAME",
+        dimension_numbers=_CF_DIMS,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    # wgrad: contraction over (b, t, h, w) with x's channel dim as the "batch"
+    # and g's channel dim as the kernel "output feature" — expressed through
+    # dimension_numbers so XLA handles any internal layout change.
+    pad = ((kt // 2, kt // 2), (kh // 2, kh // 2), (kw // 2, kw // 2))
+    dw_ = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32),  # (b, t, cin, h, w)
+        g,                      # (b, t, cout, h, w)
+        window_strides=(1, 1, 1),
+        padding=pad,
+        dimension_numbers=("CDNHW", "IDOHW", "DHWNC"),
+        preferred_element_type=jnp.float32,
+    )  # lhs: b→C(feature), t→D, cin→N(batch); rhs: b→I, t→D, cout→O
+    # out spec "DHWNC" = (kt, kh, kw, cin, cout) — DHWIO directly
+    dkernel = dw_.astype(kernel.dtype)
+    dbias = jnp.sum(g, axis=(0, 1, 3, 4)).astype(jnp.float32)
+    return dx, dkernel, dbias
+
+
+conv3d_cf.defvjp(_conv3d_cf_fwd, _conv3d_cf_bwd)

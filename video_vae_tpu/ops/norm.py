@@ -1,0 +1,52 @@
+"""GroupNorm (+ fused SiLU) on channels-first video activations.
+
+Matches flax ``nnx.GroupNorm`` semantics on (b, t, h, w, c) inputs — statistics
+per (batch, group) over ALL non-batch axes (t, h, w and the channels inside the
+group), float32 reductions, epsilon 1e-6 — but takes (b, t, c, h, w) so the
+channels-first UNet never transposes just to normalize. Scale/bias are the
+(c,) parameters of the twin ``nnx.GroupNorm`` module (checkpoint-compatible).
+
+Parity: /root/reference/train/unet.py:24-27 (GroupNorm(≤8 groups) + SiLU).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def group_norm_cf(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    num_groups: int,
+    *,
+    eps: float = 1e-6,
+    silu: bool = False,
+) -> jnp.ndarray:
+    """x: (b, t, c, h, w); scale/bias: (c,). Returns x.dtype."""
+    b, t, c, h, w = x.shape
+    xg = x.reshape(b, t, num_groups, c // num_groups, h, w)
+    xf = xg.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 3, 4, 5), keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=(1, 3, 4, 5), keepdims=True) - jnp.square(mean)
+    mul = jax.lax.rsqrt(var + eps)
+    y = (xg - mean.astype(x.dtype)) * mul.astype(x.dtype)
+    y = y.reshape(b, t, c, h, w)
+    y = y * scale.astype(x.dtype)[None, None, :, None, None]
+    y = y + bias.astype(x.dtype)[None, None, :, None, None]
+    if silu:
+        y = jax.nn.silu(y)
+    return y
+
+
+def max_pool_2x_cf(x: jnp.ndarray) -> jnp.ndarray:
+    """Spatial-only (1,2,2) max pool on (b, t, c, h, w)."""
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        window_dimensions=(1, 1, 1, 2, 2),
+        window_strides=(1, 1, 1, 2, 2),
+        padding="VALID",
+    )
