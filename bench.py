@@ -85,11 +85,22 @@ def main() -> None:
     timed_chain(chained, state, video, mask, K_SHORT)
     timed_chain(chained, state, video, mask, K_LONG)
 
+    from video_vae_tpu.utils.metrics import profile_trace
+
+    profile_dir = None
+    if "--profile" in sys.argv:
+        idx = sys.argv.index("--profile")
+        profile_dir = (
+            sys.argv[idx + 1] if len(sys.argv) > idx + 1 else "bench_profile"
+        )
+        print(f"capturing xplane trace to {profile_dir}", file=sys.stderr)
+
     slopes = []
-    for _ in range(REPEATS):
-        t_short = timed_chain(chained, state, video, mask, K_SHORT)
-        t_long = timed_chain(chained, state, video, mask, K_LONG)
-        slopes.append((t_long - t_short) / (K_LONG - K_SHORT))
+    with profile_trace(profile_dir):
+        for _ in range(REPEATS):
+            t_short = timed_chain(chained, state, video, mask, K_SHORT)
+            t_long = timed_chain(chained, state, video, mask, K_LONG)
+            slopes.append((t_long - t_short) / (K_LONG - K_SHORT))
     per_step = min(slopes)
     print(f"per-forward seconds across repeats: {[round(s, 4) for s in slopes]}", file=sys.stderr)
 

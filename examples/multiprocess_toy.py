@@ -60,6 +60,47 @@ def main() -> None:
                    DynamicHParams.default())
     print(f"[proc {pid}] train step OK, loss={float(metrics['loss']):.4f}")
 
+    # 3. multi-host checkpoint: orbax-native distributed save + restore +
+    # resume exactness (replaces the reference's numpy-materialize + proc-0
+    # restore + broadcast workaround, distributed_train.py:314-341).
+    import shutil
+
+    from jax.experimental import multihost_utils
+
+    from video_vae_tpu.train.checkpoint import CheckpointManager
+
+    ckpt_dir = os.environ.get("TOY_CKPT_DIR", f"/tmp/vvt_toy_ckpt_{coord.split(':')[-1]}")
+    if pid == 0 and os.path.exists(ckpt_dir):
+        shutil.rmtree(ckpt_dir)
+    multihost_utils.sync_global_devices("ckpt_dir_clean")
+
+    mngr = CheckpointManager(ckpt_dir, max_to_keep=1)
+    mngr.save(1, model, opt)
+    mngr.wait()
+
+    # advance the ORIGINAL state one more step → the post-restore target
+    after = step(model, opt, sharded["video"], sharded["mask"], nnx.Rngs(sampling=7),
+                 DynamicHParams.default())
+    loss_resumed_truth = float(after["loss"])
+
+    # restore into a FRESH model/optimizer (different init), resume, compare
+    model2 = create_sharded_model(
+        lambda: VideoVAE(cfg.model, nnx.Rngs(123, sampling=124)), mesh
+    )
+    opt2 = create_optimizer(model2, cfg.optim, mesh)
+    restored_step = CheckpointManager(ckpt_dir, max_to_keep=1).restore_latest(model2, opt2)
+    assert restored_step == 1, restored_step
+    after2 = step(model2, opt2, sharded["video"], sharded["mask"], nnx.Rngs(sampling=7),
+                  DynamicHParams.default())
+    np.testing.assert_allclose(
+        float(after2["loss"]), loss_resumed_truth, rtol=1e-6,
+        err_msg="post-restore step diverged from the original trajectory",
+    )
+    print(f"[proc {pid}] multi-host checkpoint save/restore/resume-exactness OK")
+    multihost_utils.sync_global_devices("ckpt_done")
+    if pid == 0:
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+
 
 if __name__ == "__main__":
     main()

@@ -98,12 +98,62 @@ def test_file_source_and_error_policy(tmp_path):
     assert bad["video"].max() == 0.0
     assert bad["mask"].min() == 1.0
 
-    src_raise = VideoFileSource(str(tmp_path), max_frames=4, resize=(16, 16),
-                                crop_size=16, on_error="skip")
-    from video_vae_tpu.data.video_io import VideoDecodeError
+    # "skip" = resample: the corrupt index transparently yields another clip
+    src_skip = VideoFileSource(str(tmp_path), max_frames=4, resize=(16, 16),
+                               crop_size=16, on_error="skip")
+    resampled = src_skip[1]
+    assert resampled["video"].max() > 0.0  # a real (decoded) clip, not zeros
+    assert resampled["mask"].sum() == 4
 
-    with pytest.raises(VideoDecodeError):
+    # "raise" propagates
+    src_raise = VideoFileSource(str(tmp_path), max_frames=4, resize=(16, 16),
+                                crop_size=16, on_error="raise")
+    with pytest.raises(Exception):
         src_raise[1]
+
+
+@pytest.mark.skipif(not HAVE_CV2, reason="OpenCV unavailable")
+def test_skip_policy_exhaustion_and_producer_error(tmp_path):
+    """All-corrupt dataset: 'skip' fails loudly, and the threaded loader
+    surfaces the producer error instead of silently truncating the epoch."""
+    shard = os.path.join(tmp_path, "videos0")
+    os.makedirs(shard)
+    for name in ("a", "b"):
+        with open(os.path.join(shard, f"{name}.mp4"), "wb") as f:
+            f.write(b"not a video")
+
+    from video_vae_tpu.data.source import VideoFileSource
+
+    src = VideoFileSource(str(tmp_path), max_frames=4, resize=(16, 16),
+                          crop_size=16, on_error="skip")
+    with pytest.raises(RuntimeError, match="consecutive decode failures"):
+        src[0]
+
+    cfg = DataConfig(base_dir=str(tmp_path), batch_size=2, max_frames=4,
+                     resize=(16, 16), crop_size=16, backend="threaded",
+                     on_error="skip", shuffle=False)
+    with pytest.raises(RuntimeError, match="consecutive decode failures"):
+        list(create_dataloader(cfg, seed=0))
+
+
+def test_independent_shards_full_dataset_per_process():
+    """Reference-parity sampling: each process sees the full dataset with its
+    own seed (/root/reference/claude_distributed/dataloader.py:363)."""
+    base = dict(
+        synthetic=True, synthetic_num_clips=8, batch_size=2, max_frames=4,
+        resize=(16, 16), backend="threaded",
+    )
+    cfg_ind = DataConfig(independent_shards=True, **base)
+    p0 = list(create_dataloader(cfg_ind, seed=0, process_index=0, process_count=2))
+    p1 = list(create_dataloader(cfg_ind, seed=0, process_index=1, process_count=2))
+    # full dataset per process (4 batches of 2 from 8 clips), not a half split
+    assert len(p0) == len(p1) == 4
+    # different per-process seeds → different shuffles
+    assert not np.array_equal(p0[0]["video"], p1[0]["video"])
+
+    cfg_exact = DataConfig(**base)
+    q0 = list(create_dataloader(cfg_exact, seed=0, process_index=0, process_count=2))
+    assert len(q0) == 2  # exact partitioning halves the per-process epoch
 
 
 @pytest.mark.skipif(not HAVE_CV2, reason="OpenCV unavailable")

@@ -44,6 +44,83 @@ def test_flash_backward_matches_xla():
         assert float(jnp.max(jnp.abs(a - b))) / scale < 5e-3
 
 
+def _module_reference(qkv, q_scale, k_scale, mask, num_heads):
+    """The exact round-1 Attention chain (split → LN → RoPE → sdpa)."""
+    from einops import rearrange
+    from flax import nnx
+
+    from video_vae_tpu.ops.rope import apply_rope
+
+    b, s, three_hd = qkv.shape
+    d = three_hd // (3 * num_heads)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = rearrange(q, "b s (h d) -> b s h d", h=num_heads)
+    k = rearrange(k, "b s (h d) -> b s h d", h=num_heads)
+    v = rearrange(v, "b s (h d) -> b s h d", h=num_heads)
+    q_norm = nnx.LayerNorm(d, use_bias=False, rngs=nnx.Rngs(0))
+    k_norm = nnx.LayerNorm(d, use_bias=False, rngs=nnx.Rngs(0))
+    q_norm.scale.value = q_scale
+    k_norm.scale.value = k_scale
+    q, k = apply_rope(q_norm(q), k_norm(k))
+    out = jax.nn.dot_product_attention(q, k, v, mask=mask)
+    return out.reshape(b, s, num_heads * d)
+
+
+@pytest.mark.parametrize("masked", [True, False])
+@pytest.mark.parametrize("interpret", [True, False])
+def test_fused_qkv_attention_matches_module_chain(masked, interpret):
+    """The one-kernel qk-norm+RoPE+attention path (and its non-TPU fallback)
+    reproduces the unfused module chain."""
+    from video_vae_tpu.ops.flash_attention import fused_qkv_attention
+
+    B, S, H, D = 3, 16, 2, 32
+    qkv = jax.random.normal(jax.random.key(1), (B, S, 3 * H * D), jnp.float32)
+    q_scale = 1.0 + 0.1 * jax.random.normal(jax.random.key(2), (D,))
+    k_scale = 1.0 - 0.1 * jax.random.normal(jax.random.key(3), (D,))
+    mask = None
+    if masked:
+        mask = jnp.zeros((B, 1, 1, S), bool).at[..., : S * 3 // 4].set(True)
+
+    ref = _module_reference(qkv, q_scale, k_scale, mask, H)
+    out = jax.jit(
+        lambda qkv, qs, ks, m: fused_qkv_attention(
+            qkv, qs, ks, m, H, 10000.0, 1.0, interpret
+        )
+    )(qkv, q_scale, k_scale, mask)
+    assert out.shape == ref.shape
+    assert float(jnp.max(jnp.abs(out - ref))) < 2e-3
+
+
+def test_fused_qkv_attention_gradients():
+    from video_vae_tpu.ops.flash_attention import fused_qkv_attention
+
+    B, S, H, D = 2, 8, 2, 32
+    qkv = jax.random.normal(jax.random.key(4), (B, S, 3 * H * D), jnp.float32)
+    q_scale = jnp.ones((D,))
+    k_scale = jnp.ones((D,))
+    mask = jnp.zeros((B, 1, 1, S), bool).at[..., : S - 2].set(True)
+
+    gf = jax.jit(
+        jax.grad(
+            lambda qkv, qs, ks: jnp.sum(
+                fused_qkv_attention(qkv, qs, ks, mask, H, 10000.0, 1.0, True) ** 2
+            ),
+            argnums=(0, 1, 2),
+        )
+    )(qkv, q_scale, k_scale)
+    gr = jax.jit(
+        jax.grad(
+            lambda qkv, qs, ks: jnp.sum(
+                _module_reference(qkv, qs, ks, mask, H) ** 2
+            ),
+            argnums=(0, 1, 2),
+        )
+    )(qkv, q_scale, k_scale)
+    for a, b in zip(gf, gr):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-6
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 5e-3
+
+
 def test_flash_batch_padding():
     """Batch not divisible by the kernel's block size still works."""
     q, k, v, mask = _inputs(B=3)

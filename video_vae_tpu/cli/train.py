@@ -35,6 +35,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
     p.add_argument("--fsdp", type=int, default=1)
     p.add_argument("--tensor", type=int, default=1)
+    p.add_argument(
+        "--profile", action="store_true",
+        help="capture a jax.profiler xplane trace (steps 10-15) into "
+             "<checkpoint_dir>/profile",
+    )
+    p.add_argument(
+        "--gcs_prefix", type=str, default=None,
+        help="gs:// prefix to mirror checkpoints and video dumps to",
+    )
+    p.add_argument(
+        "--independent_shards", action="store_true",
+        help="reference-parity multi-host sampling (per-process seed, full "
+             "dataset per process) instead of exact sharding",
+    )
     return p
 
 
@@ -60,8 +74,16 @@ def config_from_args(args):
             batch_size=args.batch_size if not args.tiny else cfg.data.batch_size,
             max_frames=args.max_frames if not args.tiny else cfg.data.max_frames,
             synthetic=args.synthetic or args.tiny,
+            independent_shards=args.independent_shards,
         ),
-        train=cfg.train.replace(num_epochs=args.epochs, checkpoint_dir=args.checkpoint_dir),
+        train=cfg.train.replace(
+            num_epochs=args.epochs,
+            checkpoint_dir=args.checkpoint_dir,
+            profile_dir=(
+                f"{args.checkpoint_dir}/profile" if args.profile else None
+            ),
+            gcs_upload_prefix=args.gcs_prefix,
+        ),
         mesh=cfg.mesh.replace(fsdp=args.fsdp, tensor=args.tensor),
         loss=cfg.loss.replace(use_perceptual=not args.no_perceptual and not args.tiny),
     )

@@ -76,15 +76,16 @@ class ModelConfig:
     dtype: str = "bfloat16"
     param_dtype: str = "float32"
     remat: bool = True
-    # Attention backend: "xla" (jax.nn.dot_product_attention) or "pallas"
-    # (fused flash-attention kernel in ops/flash_attention.py).
+    # Attention backend: "xla" (jax.nn.dot_product_attention), "pallas"
+    # (fused attention kernel), or "fused" (qk-norm + RoPE + attention in ONE
+    # Pallas kernel straight off the QKV projection — ops/flash_attention.py).
     attention_impl: str = "xla"
 
     def __post_init__(self):
         assert self.height % self.patch_size == 0 and self.width % self.patch_size == 0
         assert self.qkv_features % self.num_heads == 0
         assert self.selection_mode in ("rl", "ste", "none")
-        assert self.attention_impl in ("xla", "pallas")
+        assert self.attention_impl in ("xla", "pallas", "fused")
         assert self.unet_layout in ("nhwc", "cf")
 
     @property
@@ -207,11 +208,17 @@ class DataConfig:
     # Reference behavior: a decode failure yields a zero video with an
     # all-ones mask (/root/reference/train/dataloader.py:235-239). Here that
     # poison-pill tolerance is an explicit choice.
-    on_error: str = "zeros"  # "zeros" (reference parity) | "raise" | "skip"
+    on_error: str = "zeros"  # "zeros" (reference parity) | "raise" | "skip" (resample)
+    # Multi-host sampling: False (default) partitions every global batch across
+    # processes exactly (grain ShardOptions semantics). True reproduces the
+    # reference's scheme — each process samples *independently* from its full
+    # dataset with a per-process seed
+    # (/root/reference/claude_distributed/dataloader.py:363).
+    independent_shards: bool = False
     # Use synthetic random clips instead of files (tests / benchmarks).
     synthetic: bool = False
     synthetic_num_clips: int = 64
-    backend: str = "auto"  # "grain" | "threaded" | "auto"
+    backend: str = "auto"  # "grain" | "threaded" | "native" | "auto"
 
     def replace(self, **kw) -> "DataConfig":
         return dataclasses.replace(self, **kw)
@@ -242,7 +249,18 @@ class TrainConfig:
     checkpoint_every_steps: int = 10_000
     checkpoint_dir: str = "checkpoints"
     video_save_dir: str = "outputs"
+    # Donate model/optimizer state buffers to the jitted train step (in-place
+    # param/moment updates — halves peak optimizer-state memory).
     donate_state: bool = True
+    # jax.profiler xplane capture: trace steps [profile_start_step,
+    # profile_start_step + profile_num_steps) into profile_dir.
+    profile_dir: Optional[str] = None
+    profile_start_step: int = 10
+    profile_num_steps: int = 5
+    # When set (gs://bucket/run), proc 0 mirrors video dumps and checkpoints
+    # there via `gcloud storage cp` (parity:
+    # /root/reference/claude_distributed/distributed_train.py:425-430,44-47).
+    gcs_upload_prefix: Optional[str] = None
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

@@ -44,7 +44,15 @@ class VideoFileSource:
 
     Each record is decoded with a per-(index, seed) generator, so augmentation
     (temporal window, crop position) is reproducible.
+
+    ``on_error="skip"`` resamples: a decode failure draws a deterministic
+    replacement index (derived from (seed, index, attempt)) and retries, up to
+    ``max_resample_attempts``; the epoch keeps its size and no zero clips are
+    emitted. "zeros" is reference poison-pill parity
+    (/root/reference/train/dataloader.py:235-239); "raise" propagates.
     """
+
+    max_resample_attempts: int = 10
 
     def __init__(
         self,
@@ -71,16 +79,34 @@ class VideoFileSource:
         return len(self.video_paths)
 
     def __getitem__(self, index: int) -> dict:
-        rng = np.random.default_rng(np.random.PCG64(abs(hash((self.seed, index)))))
-        video, mask = self._load_video(
-            self.video_paths[index % len(self.video_paths)],
-            max_frames=self.max_frames,
-            resize=self.resize,
-            crop_size=self.crop_size,
-            rng=rng,
-            on_error=self.on_error,
+        from video_vae_tpu.data.video_io import VideoDecodeError
+
+        last_error = None
+        attempts = self.max_resample_attempts if self.on_error == "skip" else 1
+        for attempt in range(attempts):
+            rng = np.random.default_rng(
+                np.random.PCG64(abs(hash((self.seed, index, attempt))))
+            )
+            if attempt:
+                index = int(rng.integers(0, len(self.video_paths)))
+            try:
+                video, mask = self._load_video(
+                    self.video_paths[index % len(self.video_paths)],
+                    max_frames=self.max_frames,
+                    resize=self.resize,
+                    crop_size=self.crop_size,
+                    rng=rng,
+                    on_error=self.on_error,
+                )
+                return {"video": video, "mask": mask}
+            except VideoDecodeError as e:
+                if self.on_error != "skip":
+                    raise
+                last_error = e
+        raise RuntimeError(
+            f"{self.max_resample_attempts} consecutive decode failures "
+            f"(on_error='skip'); last: {last_error}"
         )
-        return {"video": video, "mask": mask}
 
 
 class SyntheticVideoSource:

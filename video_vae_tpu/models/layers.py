@@ -180,6 +180,22 @@ class Attention(nnx.Module):
 
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         x = self.input_norm(x)
+        if self.attention_impl == "fused":
+            # One Pallas kernel: split + per-head LN + RoPE + attention,
+            # straight off the fused QKV projection (ops/flash_attention.py).
+            from video_vae_tpu.ops.flash_attention import fused_qkv_attention
+
+            qkv = self.qkv_projection(x)
+            out = fused_qkv_attention(
+                qkv,
+                self.q_norm.scale.value,
+                self.k_norm.scale.value,
+                mask,
+                self.num_heads,
+                self.rope_base,
+                self.rope_alpha,
+            )
+            return self.out_projection(out)
         q, k, v = jnp.split(self.qkv_projection(x), 3, axis=-1)
         q = rearrange(q, "b s (h d) -> b s h d", h=self.num_heads)
         k = rearrange(k, "b s (h d) -> b s h d", h=self.num_heads)

@@ -7,16 +7,19 @@ by default the network is truncated after conv2_1: 3 convolutions instead of 13,
 which removes >90% of the VGG FLOPs from the loss with identical semantics.
 
 Weights: pass ``weights_path`` pointing at an .npz produced by
-``python -m video_vae_tpu.cli.convert_vgg <torchvision_vgg16.pth> <out.npz>``
-(torch is CPU-available in this image, the weight file must be supplied by the
-user since this environment has no network egress). Without weights the filters
-are He-initialized — random VGG features still provide a usable structural
-prior, and the training stack is agnostic to which is loaded.
+``python -m video_vae_tpu.cli.convert_vgg <torchvision_vgg16.pth> <out.npz>``.
+torch (CPU) is available to run the converter, but torchvision/flaxmodels are
+NOT installed and this environment has no network egress, so the ``.pth``
+checkpoint itself must be user-supplied. Without weights the filters are
+He-initialized and ``load_vgg`` emits a LOUD warning: random VGG features are a
+materially different training objective from the reference's pretrained
+perceptual loss (/root/reference/train/vgg_tests.py:18-32).
 """
 
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
@@ -88,6 +91,15 @@ def load_vgg(
 ) -> VGG16Features:
     """Build the feature extractor, optionally loading converted weights."""
     model = VGG16Features(nnx.Rngs(0), normalize=normalize, dtype=dtype)
+    if not weights_path:
+        warnings.warn(
+            "Perceptual loss is using RANDOM (He-init) VGG filters — no "
+            "weights_path was given. This is a materially different training "
+            "objective from the reference's ImageNet-pretrained VGG16. "
+            "Convert weights with `python -m video_vae_tpu.cli.convert_vgg "
+            "vgg16.pth vgg16.npz` and pass --vgg_weights / weights_path.",
+            stacklevel=2,
+        )
     if weights_path:
         if not os.path.exists(weights_path):
             raise FileNotFoundError(weights_path)

@@ -56,13 +56,31 @@ def _pick_tile_h(h: int, n_taps: int, w: int, stride: int) -> Optional[int]:
     return None
 
 
+def _pick_frames(t: int, kt: int, cout: int) -> int:
+    """Temporal M-packing factor: F output frames share one matmul.
+
+    cout alone wastes the MXU's 128 M-rows (e.g. 16/128 = 12.5% for the UNet's
+    base level); stacking F frames as (f·cout + co) rows with block-banded
+    weights (frame f only reads window frames f..f+kt−1) fills M while the
+    im2col taps are SHARED across frames — executed-FLOP overhead drops from
+    128/cout to ≈ (F+kt−1)/kt · 128/(F·cout).
+    """
+    for f in (8, 4, 2):
+        if f * cout <= 128 and t % f == 0 and (f * cout) % 8 == 0:
+            return f
+    return 1
+
+
 def pallas_conv_supported(x_shape, kernel_shape) -> bool:
     """Shapes where the direct kernel is applicable and worth it."""
     b, t, h, w, cin = x_shape
     kt, kh, kw, _, cout = kernel_shape
-    if w % 128 or h % 8:
+    if w % 128 or h % 8 or (w & (w - 1)):  # power-of-two w: col id = iota&(w-1)
         return False
-    n_taps = kt * kh * kw
+    if cout % 8:  # cout rows of the output block (×8 sublane tiling)
+        return False
+    frames = _pick_frames(t, kt, cout)
+    n_taps = (frames + kt - 1) * kh * kw
     th = _pick_tile_h(h, n_taps, w, _tap_stride(cin))
     # small spatial extents: XLA's padded conv is fine and the per-tile
     # overheads dominate — only take over the big-feature-map levels
@@ -71,62 +89,101 @@ def pallas_conv_supported(x_shape, kernel_shape) -> bool:
 
 def _conv_kernel(
     x_hbm, w_ref, b_ref, o_ref, in_buf, patches_ref, sem,
-    *, kt, kh, kw, cin, th, dma_rows, h, w, frames_t, stride,
+    *, kt, kh, kw, th, dma_rows, h, w, frames, groups, stride,
 ):
-    """Channels-first direct conv.
+    """Channels-first direct conv: flat-lane im2col + temporal M-packing.
 
-    x_hbm:   (b, t+kt-1, cin, h_pad, w) — dense HBM (w=lane dim, no padding)
-    w_ref:   (cout_pad, K_pad) packed weights, tap rows strided by _TAP_STRIDE
-    o_ref:   block (1, cout, th, w)
-    in_buf:  (kt, cin, dma_rows, w) VMEM window (dma_rows ≥ th+kh-1, ×8)
-    patches: (K_pad, th·w) im2col, K in sublanes (aligned tap stride)
+    x_hbm:   (b, t+kt-1, stride, h_pad·w) — channel-padded, rows flattened
+             into the lane dim so every im2col store below is layout-
+             preserving (v1 stored (cin,th,w)→(cin,th·w) reshapes, a full
+             VMEM relayout per tap that made the kernel VPU-bound)
+    w_ref:   (m_pad, K_pad) block-banded packed weights: row f·cout+co reads
+             only window-frame columns f..f+kt−1 (see _pack_weights_mf)
+    o_ref:   block (frames, cout, th·w) — F output frames per grid step
+    in_buf:  (frames+kt-1, stride, dma_rows·w) VMEM window
+    patches: (K_pad, th·w) im2col over ALL window frames — taps are shared
+             by the F packed output frames, the banded weights select them
+
+    Lane shifts are hoisted: ONE roll+mask per dw≠0 over the whole window
+    (kw−1 rolls total) instead of one per tap; a flat roll crosses row
+    boundaries exactly at the columns the SAME-padding mask zeroes anyway
+    (w is a power of two here, so the column id is iota&(w−1)).
     """
     i = pl.program_id(0)
     tiles_per_frame = h // th
-    frame = i // tiles_per_frame
-    b_idx = frame // frames_t
-    t_idx = frame % frames_t
-    row0 = (i % tiles_per_frame) * th
+    win = frames + kt - 1
+    rem = i % (groups * tiles_per_frame)
+    b_idx = i // (groups * tiles_per_frame)
+    g_idx = rem // tiles_per_frame
+    row0 = (rem % tiles_per_frame) * th
 
     copy = pltpu.make_async_copy(
-        x_hbm.at[b_idx, pl.ds(t_idx, kt), :, pl.ds(row0, dma_rows), :],
+        x_hbm.at[b_idx, pl.ds(g_idx * frames, win), :, pl.ds(row0 * w, dma_rows * w)],
         in_buf,
         sem,
     )
     copy.start()
-    # zero the whole im2col buffer so tap-stride pad rows can't hold stale
-    # garbage (0-weight × inf = NaN); overlaps with the DMA
-    patches_ref[:] = jnp.zeros_like(patches_ref)
     copy.wait()
 
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (cin, th, w), dimension=2)
+    L = dma_rows * w
+    # channels are pre-padded to `stride` (×8 sublanes); every tap block
+    # below stores a full stride-row slab, so the im2col buffer is fully
+    # overwritten each grid step — no zero-fill needed (channel-pad rows are
+    # zeros in BOTH the input and the packed weights).
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (win, stride, L), dimension=2) & (w - 1)
+    shifted = {0: in_buf[:]}
+    for dw in range(kw):
+        shift = dw - kw // 2  # e.g. −1, 0, +1 for kw=3
+        if shift == 0:
+            continue
+        # Mosaic's lane rotate only handles 32-bit elements
+        rolled = pltpu.roll(in_buf[:].astype(jnp.float32), shift=(-shift) % L, axis=2)
+        if shift < 0:
+            # output col j reads input col j+shift: data moved right; col 0
+            # now holds the previous row's last pixel — zero it (SAME pad)
+            rolled = jnp.where(col_ids < -shift, 0.0, rolled)
+        else:
+            rolled = jnp.where(col_ids >= w - shift, 0.0, rolled)
+        shifted[shift] = rolled.astype(in_buf.dtype)
+
     tap = 0
-    for dt in range(kt):
+    for dt in range(win):
         for dh in range(kh):
-            rows = in_buf[dt, :, dh : dh + th, :]  # (cin, th, w)
-            # Mosaic's lane rotate only handles 32-bit elements
-            rows32 = rows.astype(jnp.float32)
             for dw in range(kw):
-                shift = dw - kw // 2  # e.g. −1, 0, +1 for kw=3
-                if shift == 0:
-                    piece = rows
-                elif shift < 0:
-                    # output col j reads input col j+shift: move data right
-                    piece = pltpu.roll(rows32, shift=(-shift) % w, axis=2)
-                    piece = jnp.where(col_ids < -shift, 0.0, piece).astype(rows.dtype)
-                else:
-                    piece = pltpu.roll(rows32, shift=(-shift) % w, axis=2)
-                    piece = jnp.where(col_ids >= w - shift, 0.0, piece).astype(rows.dtype)
-                patches_ref[tap * stride : tap * stride + cin, :] = (
-                    piece.reshape(cin, th * w)
-                )
+                shift = dw - kw // 2
+                piece = shifted[shift][dt, :, dh * w : dh * w + th * w]
+                patches_ref[tap * stride : (tap + 1) * stride, :] = piece
                 tap += 1
     out = jnp.dot(
         w_ref[:], patches_ref[:], preferred_element_type=jnp.float32
-    )  # (cout_pad, th·w)
+    )  # (m_pad, th·w)
     out = out + b_ref[:].astype(jnp.float32)
     cout = o_ref.shape[1]
-    o_ref[0] = out[:cout].reshape(cout, th, w).astype(o_ref.dtype)
+    o_ref[...] = out[: frames * cout].reshape(frames, cout, th * w).astype(o_ref.dtype)
+
+
+def _pack_weights_mf(kernel, bias, frames, stride, m_pad, k_pad):
+    """Block-banded (m_pad, K_pad) weights for temporal M-packing.
+
+    Row f·cout+co, column ((dt'·kh+dh)·kw+dw)·stride+ci holds W[dt'−f,dh,dw,ci,co]
+    when 0 ≤ dt'−f < kt, else 0 — output frame f of the window only contracts
+    its own kt input frames; the im2col taps over the whole window are shared.
+    """
+    kt, kh, kw, cin, cout = kernel.shape
+    blk = kh * kw * stride
+    kflat = jnp.transpose(kernel, (4, 0, 1, 2, 3)).reshape(cout, kt, kh * kw, cin)
+    pad_ci = jnp.zeros((cout, kt, kh * kw, stride - cin), kernel.dtype)
+    packed = jnp.concatenate([kflat, pad_ci], axis=-1).reshape(cout, kt, blk)
+    wmat = jnp.zeros((m_pad, k_pad), kernel.dtype)
+    for f in range(frames):
+        for dt in range(kt):
+            wmat = wmat.at[
+                f * cout : (f + 1) * cout, (f + dt) * blk : (f + dt + 1) * blk
+            ].set(packed[:, dt])
+    bias_col = jnp.zeros((m_pad, 1), jnp.float32).at[: frames * cout, 0].set(
+        jnp.tile(bias.astype(jnp.float32), frames)
+    )
+    return wmat, bias_col
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -134,38 +191,42 @@ def _conv3d_pallas_cf(xq, kernel, bias, interpret=False):
     """Pallas direct conv on channels-first input (b, t, cin, h, w) → same layout."""
     b, t, cin, h, w = xq.shape
     kt, kh, kw, _, cout = kernel.shape
-    n_taps = kt * kh * kw
     stride = _tap_stride(cin)
+    frames = _pick_frames(t, kt, cout)
+    win = frames + kt - 1
+    n_taps = win * kh * kw
     th = _pick_tile_h(h, n_taps, w, stride)
     k_pad = n_taps * stride
-    cout_pad = max(128, ((cout + 127) // 128) * 128)
+    m_pad = max(128, (((frames * cout) + 127) // 128) * 128)
 
-    # t-SAME-padded, h padded so every aligned DMA window of dma_rows rows
-    # starting at multiples of th stays in bounds.
-    dma_rows = ((th + kh - 1 + 7) // 8) * 8
+    # t-SAME-padded, h padded so every DMA window of dma_rows rows starting at
+    # multiples of th stays in bounds; rows then flatten into the lane dim
+    # (HBM-contiguous — a free reshape) for the in-kernel flat-lane im2col.
+    # Channels pad up to the tap stride (×8) — cin is the DMA's sublane dim.
+    dma_rows = th + kh - 1
     h_pad = (h // th - 1) * th + dma_rows
     xq = jnp.pad(
         xq,
-        ((0, 0), (kt // 2, kt // 2), (0, 0), (kh // 2, h_pad - h - kh // 2), (0, 0)),
+        (
+            (0, 0),
+            (kt // 2, kt // 2),
+            (0, stride - cin),
+            (kh // 2, h_pad - h - kh // 2),
+            (0, 0),
+        ),
     )
+    xq = xq.reshape(b, t + 2 * (kt // 2), stride, h_pad * w)
 
-    # weights → (cout_pad, K_pad): row tap*_TAP_STRIDE+ci holds W[dt,dh,dw,ci,:]
-    wmat = jnp.zeros((cout_pad, k_pad), kernel.dtype)
-    kflat = jnp.transpose(kernel, (4, 0, 1, 2, 3)).reshape(cout, n_taps, cin)
-    pad_ci = jnp.zeros((cout, n_taps, stride - cin), kernel.dtype)
-    packed = jnp.concatenate([kflat, pad_ci], axis=-1).reshape(cout, k_pad)
-    wmat = wmat.at[:cout].set(packed)
-    bias_col = jnp.zeros((cout_pad, 1), jnp.float32).at[:cout, 0].set(
-        bias.astype(jnp.float32)
-    )
+    wmat, bias_col = _pack_weights_mf(kernel, bias, frames, stride, m_pad, k_pad)
 
     tiles_per_frame = h // th
-    grid = (b * t * tiles_per_frame,)
+    groups = t // frames
+    grid = (b * groups * tiles_per_frame,)
     out = pl.pallas_call(
         functools.partial(
             _conv_kernel,
-            kt=kt, kh=kh, kw=kw, cin=cin, th=th, dma_rows=dma_rows,
-            h=h, w=w, frames_t=t, stride=stride,
+            kt=kt, kh=kh, kw=kw, th=th, dma_rows=dma_rows,
+            h=h, w=w, frames=frames, groups=groups, stride=stride,
         ),
         grid=grid,
         in_specs=[
@@ -174,13 +235,13 @@ def _conv3d_pallas_cf(xq, kernel, bias, interpret=False):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, cout, th, w),
-            lambda i: (i // (h // th), 0, i % (h // th), 0),
+            (frames, cout, th * w),
+            lambda i: (i // tiles_per_frame, 0, i % tiles_per_frame),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b * t, cout, h, w), xq.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * t, cout, h * w), xq.dtype),
         scratch_shapes=[
-            pltpu.VMEM((kt, cin, dma_rows, w), xq.dtype),
+            pltpu.VMEM((win, stride, dma_rows * w), xq.dtype),
             pltpu.VMEM((k_pad, th * w), xq.dtype),
             pltpu.SemaphoreType.DMA,
         ],

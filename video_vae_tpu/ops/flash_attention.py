@@ -206,3 +206,210 @@ flash_attention.defvjp(
     lambda q, k, v, mask, interpret: _flash_fwd(q, k, v, mask, interpret),
     _flash_bwd,
 )
+
+
+# ---------------------------------------------------------------------------
+# Fused qk-norm + RoPE + attention on the raw fused-QKV projection output.
+#
+# The pre-attention chain (split → per-head LayerNorm on q/k → rotary) is a
+# stack of memory-bound elementwise passes plus two head-layout transposes
+# (models/layers.py round-1 path). This kernel consumes the QKV projection
+# output directly — grid (batch-tile, head), BlockSpecs carve the q/k/v head
+# slices out of the fused (B, S, 3·H·D) array — and applies LayerNorm + rotary
+# in VMEM before the score matmul. One HBM round trip for the whole chain.
+#
+# rotate_half(x) = concat(-x2, x1) is a lane roll by D/2 with a sign flip on
+# the first half — no lane-concat relayout (pallas_guide.md: prefer rolls).
+#
+# Backward recomputes the identical chain in XLA (jax.vjp over the pure-jnp
+# reference below) — fwd-path fusion is where the serving/bench win is, and
+# the bwd stays numerically exact vs autodiff.
+# ---------------------------------------------------------------------------
+
+_LN_EPS = 1e-6
+
+
+def _fused_kernel(
+    q_ref, k_ref, v_ref, mask_ref, qs_ref, ks_ref, cos_ref, sin_ref, o_ref,
+    *, scale: float,
+):
+    d = q_ref.shape[-1]
+    sign = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (1, 1, d), dimension=2) < d // 2,
+        -1.0,
+        1.0,
+    )
+
+    def norm_rope(x_ref, scale_ref):
+        x = x_ref[:].astype(jnp.float32)  # (BB, S, D)
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x), axis=-1, keepdims=True) - jnp.square(mean)
+        xn = (x - mean) * jax.lax.rsqrt(var + _LN_EPS) * scale_ref[:].astype(jnp.float32)
+        cos = cos_ref[:].astype(jnp.float32)[None]
+        sin = sin_ref[:].astype(jnp.float32)[None]
+        rot = pltpu.roll(xn, shift=d // 2, axis=2) * sign
+        return xn * cos + rot * sin
+
+    q = norm_rope(q_ref, qs_ref)
+    k = norm_rope(k_ref, ks_ref)
+    v = v_ref[:]
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    s = s * scale
+    mask = mask_ref[:]  # (BB, 1, S) int32
+    s = jnp.where(mask > 0, s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    p = (p / l).astype(v.dtype)
+    o = jax.lax.dot_general(
+        p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    o_ref[:] = o.astype(o_ref.dtype)
+
+
+def _reference_fused_chain(qkv, q_scale, k_scale, mask, num_heads, cos, sin):
+    """Pure-jnp chain: split → per-head LN (no bias) → RoPE → attention.
+
+    Matches nnx.LayerNorm(use_bias=False) + ops.rope numerics; used for the
+    backward pass, non-TPU fallback, and numerics tests.
+    """
+    b, s, three_hd = qkv.shape
+    d = three_hd // (3 * num_heads)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(x):
+        return x.reshape(b, s, num_heads, d)
+
+    def ln(x, scale):
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mean)
+        return (xf - mean) * jax.lax.rsqrt(var + _LN_EPS) * scale.astype(jnp.float32)
+
+    def rope(x):
+        c = cos[None, :, None, :].astype(x.dtype)
+        si = sin[None, :, None, :].astype(x.dtype)
+        x1, x2 = jnp.split(x, 2, axis=-1)
+        rot = jnp.concatenate((-x2, x1), axis=-1)
+        return x * c + rot * si
+
+    qh = rope(ln(heads(q), q_scale))
+    kh = rope(ln(heads(k), k_scale))
+    vh = heads(v)
+    out = jax.nn.dot_product_attention(
+        qh.astype(qkv.dtype), kh.astype(qkv.dtype), vh, mask=mask
+    )
+    return out.reshape(b, s, num_heads * d)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7)
+)
+def fused_qkv_attention(
+    qkv: jnp.ndarray,
+    q_scale: jnp.ndarray,
+    k_scale: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    num_heads: int,
+    rope_base: float = 10000.0,
+    rope_alpha: float = 1.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, S, 3·H·D) fused-QKV → attention output (B, S, H·D).
+
+    mask: (B, 1, 1, S) bool key-padding mask or None. Scales are the (D,)
+    LayerNorm scale params of q_norm/k_norm.
+    """
+    out, _ = _fused_fwd(
+        qkv, q_scale, k_scale, mask, num_heads, rope_base, rope_alpha, interpret
+    )
+    return out
+
+
+def _fused_call(qkv, q_scale, k_scale, mask, num_heads, rope_base, rope_alpha, interpret):
+    from video_vae_tpu.ops.rope import rope_tables
+
+    b, s, three_hd = qkv.shape
+    hd = three_hd // 3
+    d = hd // num_heads
+    cos, sin = rope_tables(s, d, rope_base, rope_alpha)
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if not (on_tpu or interpret):
+        return _reference_fused_chain(qkv, q_scale, k_scale, mask, num_heads, cos, sin)
+
+    bb = 8 if s >= 128 else 64
+    pad = (-b) % bb
+    if pad:
+        qkv = jnp.concatenate([qkv, jnp.zeros((pad, s, three_hd), qkv.dtype)], axis=0)
+    if mask is None:
+        m = jnp.ones((b + pad, 1, s), jnp.int32)
+    else:
+        m = mask.reshape(b, 1, s).astype(jnp.int32)
+        if pad:
+            m = jnp.concatenate([m, jnp.ones((pad, 1, s), jnp.int32)], axis=0)
+
+    def head_block(offset_heads):
+        # lane-block index into the fused (B, S, 3·H·D) array, per (i, h)
+        return pl.BlockSpec(
+            (bb, s, d),
+            lambda i, h, o=offset_heads: (i, 0, o + h),
+            memory_space=pltpu.VMEM,
+        )
+
+    scale_spec = pl.BlockSpec((1, d), lambda i, h: (0, 0), memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec((s, d), lambda i, h: (0, 0), memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((bb, 1, s), lambda i, h: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel, scale=1.0 / (d**0.5)),
+        grid=((b + pad) // bb, num_heads),
+        in_specs=[
+            head_block(0),                  # q of head h
+            head_block(num_heads),          # k of head h
+            head_block(2 * num_heads),      # v of head h
+            mask_spec,
+            scale_spec,
+            scale_spec,
+            table_spec,
+            table_spec,
+        ],
+        out_specs=pl.BlockSpec(
+            (bb, s, d), lambda i, h: (i, 0, h), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b + pad, s, hd), qkv.dtype),
+        interpret=interpret,
+    )(
+        qkv, qkv, qkv, m,
+        q_scale.reshape(1, d), k_scale.reshape(1, d),
+        cos.astype(jnp.float32), sin.astype(jnp.float32),
+    )
+    return out[:b]
+
+
+def _fused_fwd(qkv, q_scale, k_scale, mask, num_heads, rope_base, rope_alpha, interpret):
+    out = _fused_call(
+        qkv, q_scale, k_scale, mask, num_heads, rope_base, rope_alpha, interpret
+    )
+    return out, (qkv, q_scale, k_scale, mask)
+
+
+def _fused_bwd(num_heads, rope_base, rope_alpha, interpret, residuals, g):
+    from video_vae_tpu.ops.rope import rope_tables
+
+    qkv, q_scale, k_scale, mask = residuals
+    s, d = qkv.shape[1], qkv.shape[2] // (3 * num_heads)
+    cos, sin = rope_tables(s, d, rope_base, rope_alpha)
+    _, vjp = jax.vjp(
+        lambda qkv, qs, ks: _reference_fused_chain(
+            qkv, qs, ks, mask, num_heads, cos, sin
+        ),
+        qkv, q_scale, k_scale,
+    )
+    dqkv, dqs, dks = vjp(g)
+    return dqkv, dqs, dks, None
+
+
+fused_qkv_attention.defvjp(_fused_fwd, _fused_bwd)

@@ -20,6 +20,7 @@ import signal
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
 from flax import nnx
 
@@ -47,6 +48,67 @@ def load_checkpoint(model: nnx.Module, optimizer, path: str) -> None:
     nnx.update(optimizer, restored["optimizer"])
 
 
+def import_reference_state(model: nnx.Module, ref_model_state) -> int:
+    """Load a reference-repo VideoVAE state tree into our VideoVAE, in place.
+
+    The migration path for users of floatingtrees/video-VAE: module names were
+    kept aligned by design (encoder/decoder/fill_token; PatchEmbedding
+    linear+norm; FactoredAttention Spatial/Temporal Attention+MLP with
+    qkv_projection/out_projection/input_norm/q_norm/k_norm; UNet patch_mixer/
+    encoders/bottleneck1,2/decoders/final_conv — see
+    /root/reference/train/rl_model.py:15-147, layers.py:8-224, unet.py:7-188),
+    so the mapping is 1:1 by path. The only reference entries without a
+    counterpart are the RotaryEmbedding cos/sin caches (layers.py:103-104) —
+    our RoPE is stateless (ops/rope.py) and recomputes them at trace time.
+
+    ``ref_model_state``: the ``{"model": ...}`` subtree of a reference
+    checkpoint (nnx.State or nested dict of arrays). Returns the number of
+    parameters copied.
+    """
+    import numpy as np
+
+    def _flatten(tree, prefix=()):
+        # nnx.State, dict, and list/tuple nesting all appear in reference trees
+        if hasattr(tree, "items"):
+            for key, value in tree.items():
+                yield from _flatten(value, prefix + (str(key),))
+        elif isinstance(tree, (list, tuple)):
+            for i, value in enumerate(tree):
+                yield from _flatten(value, prefix + (str(i),))
+        else:
+            value = getattr(tree, "value", tree)
+            if value is None:
+                return
+            yield prefix, value
+
+    ref_flat = {
+        path: np.asarray(value)
+        for path, value in _flatten(ref_model_state)
+        if "ROPE" not in path
+    }
+
+    state = nnx.state(model)
+    ours_flat = {
+        tuple(str(p) for p in path): var for path, var in state.flat_state()
+    }
+    copied = 0
+    missing = []
+    for path, value in ref_flat.items():
+        if path not in ours_flat:
+            missing.append(path)
+            continue
+        var = ours_flat[path]
+        assert tuple(var.value.shape) == tuple(value.shape), (
+            path, var.value.shape, value.shape
+        )
+        var.value = jnp.asarray(value, var.value.dtype)
+        copied += 1
+    if missing:
+        raise KeyError(f"reference params with no counterpart: {missing[:5]}")
+    nnx.update(model, state)
+    return copied
+
+
 class CheckpointManager:
     """Step-indexed async checkpointing (replaces ad-hoc per-epoch paths)."""
 
@@ -61,6 +123,9 @@ class CheckpointManager:
     def save(self, step: int, model: nnx.Module, optimizer) -> None:
         state = {"model": nnx.state(model), "optimizer": nnx.state(optimizer)}
         self._mngr.save(step, args=ocp.args.StandardSave(state))
+
+    def step_dir(self, step: int) -> str:
+        return str(self._mngr.directory / str(step))
 
     def restore_latest(self, model: nnx.Module, optimizer) -> Optional[int]:
         step = self._mngr.latest_step()

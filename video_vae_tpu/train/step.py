@@ -17,6 +17,7 @@ re-architected:
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional
 
 import jax.numpy as jnp
@@ -37,10 +38,19 @@ def make_train_step(
     perceptual_fn: Optional[Callable] = None,
     *,
     compute_dtype=jnp.bfloat16,
+    donate: bool = False,
 ) -> Callable:
-    """Returns jitted (model, optimizer, video, frame_mask, rngs, hp) -> metrics."""
+    """Returns jitted (model, optimizer, video, frame_mask, rngs, hp) -> metrics.
 
-    @nnx.jit
+    ``donate=True`` (TrainConfig.donate_state) donates the model + optimizer
+    state buffers to XLA — the updated params/moments are written in place
+    instead of double-buffered, roughly halving peak optimizer-state memory at
+    flagship scale. Callers must not hold stale references to the old state
+    (nnx.jit re-binds the module to the returned state, so the Trainer pattern
+    is safe).
+    """
+
+    @functools.partial(nnx.jit, donate_argnums=(0, 1) if donate else ())
     def train_step(
         model: nnx.Module,
         optimizer: nnx.Optimizer,

@@ -108,7 +108,10 @@ class Trainer:
 
         self.perceptual_fn = build_perceptual(cfg.loss, vgg_weights)
         self.train_step = make_train_step(
-            cfg.loss, self.perceptual_fn, compute_dtype=model_cfg.compute_dtype()
+            cfg.loss,
+            self.perceptual_fn,
+            compute_dtype=model_cfg.compute_dtype(),
+            donate=cfg.train.donate_state,
         )
         self.eval_step = make_eval_step(
             cfg.loss, self.perceptual_fn, compute_dtype=model_cfg.compute_dtype()
@@ -117,8 +120,14 @@ class Trainer:
         self.global_step = 0
         self.ckpt = CheckpointManager(cfg.train.checkpoint_dir)
         self.shutdown = GracefulShutdown(install=install_signal_handlers)
+        # Full run config goes to wandb/JSONL (parity:
+        # /root/reference/claude_distributed/distributed_train.py:144-168).
+        import dataclasses as _dc
+
         self.logger = MetricLogger(
-            log_dir=cfg.train.checkpoint_dir, use_wandb=use_wandb, config=None
+            log_dir=cfg.train.checkpoint_dir,
+            use_wandb=use_wandb,
+            config=_dc.asdict(cfg),
         )
 
         self._resumed = False
@@ -134,6 +143,42 @@ class Trainer:
                 self._resumed = True
 
     # ------------------------------------------------------------------
+
+    def _maybe_profile(self) -> None:
+        """Capture a jax.profiler xplane trace over the configured step window."""
+        t = self.cfg.train
+        if not t.profile_dir or jax.process_index() != 0:
+            return
+        if not getattr(self, "_profiling", False) and self.global_step == t.profile_start_step:
+            os.makedirs(t.profile_dir, exist_ok=True)
+            jax.profiler.start_trace(t.profile_dir)
+            self._profiling = True
+        elif (
+            getattr(self, "_profiling", False)
+            and self.global_step >= t.profile_start_step + t.profile_num_steps
+        ):
+            jax.profiler.stop_trace()
+            self._profiling = False
+            print(f"[trainer] profile trace written to {t.profile_dir}")
+
+    def _upload_artifact(self, path: str) -> None:
+        """Mirror an artifact to GCS (best-effort, proc 0, non-blocking)."""
+        prefix = self.cfg.train.gcs_upload_prefix
+        if not prefix or jax.process_index() != 0:
+            return
+        import shutil as _shutil
+        import subprocess as _subprocess
+
+        if not _shutil.which("gcloud"):
+            return
+        try:
+            _subprocess.Popen(
+                ["gcloud", "storage", "cp", "-r", path, prefix.rstrip("/") + "/"],
+                stdout=_subprocess.DEVNULL,
+                stderr=_subprocess.DEVNULL,
+            )
+        except Exception as e:  # uploads must never kill training
+            print(f"[trainer] GCS upload failed: {e}")
 
     def hparams_for_step(self, step: int) -> DynamicHParams:
         t = self.cfg.train
@@ -168,6 +213,8 @@ class Trainer:
             )
         except Exception as e:  # video IO must never kill training
             print(f"[trainer] video dump failed: {e}")
+            return
+        self._upload_artifact(out_dir)
 
     # ------------------------------------------------------------------
 
@@ -190,6 +237,7 @@ class Trainer:
                     self.model, self.optimizer, batch["video"], batch["mask"], self.rngs, hp
                 )
             self.global_step += 1
+            self._maybe_profile()
             if self.global_step % cfg.train.log_every == 0:
                 self.logger.log(metrics, self.global_step)
             if cfg.train.video_every and self.global_step % cfg.train.video_every == 0:
@@ -199,6 +247,7 @@ class Trainer:
                 and self.global_step % cfg.train.checkpoint_every_steps == 0
             ):
                 self.ckpt.save(self.global_step, self.model, self.optimizer)
+                self._upload_artifact(self.ckpt.step_dir(self.global_step))
             if self.shutdown.should_stop:
                 self.ckpt.save(self.global_step, self.model, self.optimizer)
                 self.ckpt.wait()
@@ -238,9 +287,14 @@ class Trainer:
         return avg
 
     def fit(self) -> None:
-        for epoch in range(self.cfg.train.num_epochs):
-            if not self.run_epoch(epoch):
-                print("[trainer] graceful shutdown complete")
-                return
-            self.run_eval(epoch)
-        self.ckpt.wait()
+        try:
+            for epoch in range(self.cfg.train.num_epochs):
+                if not self.run_epoch(epoch):
+                    print("[trainer] graceful shutdown complete")
+                    return
+                self.run_eval(epoch)
+            self.ckpt.wait()
+        finally:
+            if getattr(self, "_profiling", False):  # window crossed end-of-run
+                jax.profiler.stop_trace()
+                self._profiling = False
