@@ -1,19 +1,22 @@
 """Direct numerics parity against the reference model, weights transferred.
 
-Imports the reference `rl_model.VideoVAE` in place from /root/reference (no
-code copied; same stub technique as tools/measure_reference.py), copies its
-parameters into our VideoVAE via train.checkpoint.import_reference_state, and
-asserts encoder / decoder / full-forward outputs match within the reference's
-own depth-1 tolerance (atol 5e-3, /root/reference/train/llm_tests.py:479-502;
-both models run float32 here, so the practical error is far below that).
+A fresh subprocess (tests/helpers/dump_reference.py) builds the reference
+`rl_model.VideoVAE` in place from /root/reference (no code copied; the
+reference's plain-list containers need flax_pytree_module=False BEFORE nnx is
+imported, which only a clean interpreter can do) and dumps its parameters and
+outputs. Here those parameters are imported into our VideoVAE via
+train.checkpoint.import_reference_state and encoder / decoder / full-forward
+outputs are asserted within the reference's own depth-1 tolerance (atol 5e-3,
+/root/reference/train/llm_tests.py:479-502; both models run float32, so the
+practical error is far smaller).
 
 This converts every "parity" comment in the codebase into a passing test
 (round-1 VERDICT missing #2).
 """
 
 import os
+import subprocess
 import sys
-import types
 
 import jax
 import jax.numpy as jnp
@@ -21,65 +24,51 @@ import numpy as np
 import pytest
 from flax import nnx
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE_TRAIN = "/root/reference/train"
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(REFERENCE_TRAIN), reason="reference repo not mounted"
 )
 
-
-@pytest.fixture(scope="module")
-def reference_modules():
-    """Import reference rl_model with annotation stubs; restore globals after."""
-    import flax
-
-    class _Subscriptable:
-        def __getitem__(self, item):
-            return object
-
-    jaxtyping = types.ModuleType("jaxtyping")
-    jaxtyping.Float = _Subscriptable()
-    jaxtyping.Array = object
-    jaxtyping.jaxtyped = lambda fn=None, **kw: fn if callable(fn) else (lambda f: f)
-    sys.modules.setdefault("jaxtyping", jaxtyping)
-    beartype_mod = types.ModuleType("beartype")
-    beartype_mod.beartype = lambda fn=None, **kw: fn if callable(fn) else (lambda f: f)
-    sys.modules.setdefault("beartype", beartype_mod)
-
-    prev_pytree = flax.config.flax_pytree_module
-    flax.config.update("flax_pytree_module", False)
-    sys.path.insert(0, REFERENCE_TRAIN)
-    try:
-        import rl_model as reference_rl_model  # /root/reference/train/rl_model.py
-
-        yield reference_rl_model
-    finally:
-        sys.path.remove(REFERENCE_TRAIN)
-        flax.config.update("flax_pytree_module", prev_pytree)
-
-
-# Small-but-structurally-complete config: full 3-level UNet, 2 heads, depth 1.
 H = W = 64
 PATCH = 16
 FRAMES = 4
 BATCH = 1
-KW = dict(
-    height=H, width=W, channels=3, patch_size=PATCH,
-    mlp_dim=64, num_heads=2, qkv_features=32, max_temporal_len=8,
-    spatial_compression_rate=8, unembedding_upsample_rate=4,
-)
 
 
 @pytest.fixture(scope="module")
-def paired_models(reference_modules):
+def reference_dump(tmp_path_factory):
+    out = tmp_path_factory.mktemp("refdump") / "reference.npz"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tests", "helpers", "dump_reference.py"), str(out)],
+        check=True,
+        env=env,
+        timeout=600,
+    )
+    return np.load(out)
+
+
+def _ref_param_tree(dump):
+    """Rebuild the nested reference state dict from 'param/...' keys."""
+    tree = {}
+    for key in dump.files:
+        if not key.startswith("param/"):
+            continue
+        node = tree
+        parts = key[len("param/"):].split("/")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = dump[key]
+    return tree
+
+
+@pytest.fixture(scope="module")
+def our_model(reference_dump):
     from video_vae_tpu.core.config import ModelConfig
     from video_vae_tpu.models.vae import VideoVAE
     from video_vae_tpu.train.checkpoint import import_reference_state
-
-    ref = reference_modules.VideoVAE(
-        encoder_depth=1, decoder_depth=1, rngs=nnx.Rngs(0, sampling=1),
-        dtype=jnp.float32, param_dtype=jnp.float32, **KW,
-    )
 
     cfg = ModelConfig(
         height=H, width=W, channels=3, patch_size=PATCH,
@@ -89,100 +78,80 @@ def paired_models(reference_modules):
         selection_mode="rl", remat=False, dtype="float32",
     )
     ours = VideoVAE(cfg, nnx.Rngs(7, sampling=8))  # deliberately different init
-
-    copied = import_reference_state(ours, nnx.state(ref))
-    assert copied > 50  # every real param array transferred
-    return ref, ours
-
-
-def _mask(hw):
-    frame_mask = jnp.ones((BATCH, FRAMES), jnp.float32).at[0, FRAMES - 1].set(0)
-    ref_mask = jnp.broadcast_to(
-        frame_mask.astype(bool)[:, None, None, :], (BATCH, hw, 1, FRAMES)
-    ).reshape(BATCH * hw, 1, 1, FRAMES)[:, None][:, 0]  # (b·hw, 1, 1, t)
-    return frame_mask, ref_mask
+    copied = import_reference_state(ours, _ref_param_tree(reference_dump))
+    assert copied > 100  # every real param array transferred
+    return ours
 
 
-def test_encoder_outputs_match(paired_models):
-    ref, ours = paired_models
-    hw = (H // PATCH) * (W // PATCH)
+def _frame_mask():
+    return jnp.ones((BATCH, FRAMES), jnp.float32).at[0, FRAMES - 1].set(0)
+
+
+def test_encoder_outputs_match(reference_dump, our_model):
     video = jax.random.uniform(jax.random.key(2), (BATCH, FRAMES, H, W, 3), jnp.float32)
-    frame_mask, ref_mask = _mask(hw)
-
-    ref_mean, ref_logvar, ref_sel = jax.jit(
-        lambda v, m: ref.encoder(v, m, nnx.Rngs(sampling=0), train=False)
-    )(video, ref_mask)
-    our_mean, our_logvar, our_prob = jax.jit(
-        lambda m, v, fm: m.encode(v, fm)
-    )(ours, video, frame_mask)
-
-    np.testing.assert_allclose(np.asarray(our_mean), np.asarray(ref_mean), atol=5e-3)
-    np.testing.assert_allclose(np.asarray(our_logvar), np.asarray(ref_logvar), atol=5e-3)
-    # reference returns sigmoid'd selection; ours returns probability too
-    np.testing.assert_allclose(
-        np.asarray(our_prob), np.asarray(ref_sel), atol=5e-3
+    mean, logvar, prob = jax.jit(lambda m, v, fm: m.encode(v, fm))(
+        our_model, video, _frame_mask()
     )
+    np.testing.assert_allclose(np.asarray(mean), reference_dump["enc_mean"], atol=5e-3)
+    np.testing.assert_allclose(np.asarray(logvar), reference_dump["enc_logvar"], atol=5e-3)
+    # reference returns the sigmoid'd probability; so does encode()
+    np.testing.assert_allclose(np.asarray(prob), reference_dump["enc_sel"], atol=5e-3)
 
 
-def test_decoder_outputs_match(paired_models):
-    ref, ours = paired_models
+def test_decoder_outputs_match(reference_dump, our_model):
     hw = (H // PATCH) * (W // PATCH)
     latent_dim = 3 * PATCH * PATCH // 8
     z = jax.random.normal(jax.random.key(3), (BATCH, FRAMES, hw, latent_dim), jnp.float32)
-    frame_mask, ref_mask = _mask(hw)
-
-    ref_out = jax.jit(
-        lambda z, m: ref.decoder(z, m, nnx.Rngs(sampling=0), train=False)
-    )(z, ref_mask)
-    our_out = jax.jit(lambda m, z, fm: m.decode(z, fm))(ours, z, frame_mask)
+    out = jax.jit(lambda m, z, fm: m.decode(z, fm))(our_model, z, _frame_mask())
     np.testing.assert_allclose(
-        np.asarray(our_out), np.asarray(ref_out), atol=5e-3, rtol=1e-3
+        np.asarray(out), reference_dump["dec_out"], atol=5e-3, rtol=1e-3
     )
 
 
-def test_full_forward_matches_with_shared_rng(paired_models):
-    """Same weights + same rng stream → identical rollouts end-to-end.
+def test_full_forward_matches_with_shared_rng(reference_dump, our_model):
+    """Same weights + same rng stream → identical paired rollouts end-to-end.
 
     Both models consume sampling keys in the same order (reparam noise, then
-    bernoulli; rl_model.py:124-142), so outputs must agree bitwise-ish.
+    bernoulli; /root/reference/train/rl_model.py:124-142), so the sampled
+    selection masks must be bit-identical and the tensors numerically equal.
     """
-    ref, ours = paired_models
-    hw = (H // PATCH) * (W // PATCH)
     video = jax.random.uniform(jax.random.key(4), (BATCH, FRAMES, H, W, 3), jnp.float32)
-    frame_mask, ref_mask = _mask(hw)
-
-    ref_recon, ref_comp, ref_sel, ref_selmask, ref_logvar, ref_mean = jax.jit(
-        lambda v, m: ref(v, m, nnx.Rngs(sampling=123), train=True)
-    )(video, ref_mask)
     out = jax.jit(
         lambda m, v, fm: m(v, fm, nnx.Rngs(sampling=123), train=True)
-    )(ours, video, frame_mask)
-
+    )(our_model, video, _frame_mask())
     np.testing.assert_array_equal(
-        np.asarray(out.selection_mask), np.asarray(ref_selmask)
+        np.asarray(out.selection_mask), reference_dump["fwd_selmask"]
     )
     np.testing.assert_allclose(
-        np.asarray(out.latent), np.asarray(ref_comp), atol=5e-3
+        np.asarray(out.latent), reference_dump["fwd_comp"], atol=5e-3
     )
     np.testing.assert_allclose(
-        np.asarray(out.reconstruction), np.asarray(ref_recon), atol=1e-2, rtol=1e-3
+        np.asarray(out.reconstruction), reference_dump["fwd_recon"], atol=1e-2, rtol=1e-3
     )
 
 
-def test_reference_shaped_checkpoint_roundtrip(paired_models, tmp_path):
-    """A checkpoint written with the reference's {"model","optimizer"}-style
-    tree (model subtree = reference state) restores into our model."""
+def test_reference_shaped_checkpoint_roundtrip(reference_dump, tmp_path):
+    """A checkpoint holding the reference's {"model": <reference state>} tree
+    restores into a freshly-initialized model of ours."""
     import orbax.checkpoint as ocp
 
-    ref, ours = paired_models
+    from video_vae_tpu.core.config import ModelConfig
+    from video_vae_tpu.models.vae import VideoVAE
     from video_vae_tpu.train.checkpoint import import_reference_state
 
     path = os.path.join(tmp_path, "ref_ckpt")
     ckptr = ocp.StandardCheckpointer()
-    ref_state = jax.tree.map(np.asarray, nnx.state(ref))
-    ckptr.save(path, {"model": ref_state})
+    ckptr.save(path, {"model": _ref_param_tree(reference_dump)})
     ckptr.wait_until_finished()
-
     restored = ckptr.restore(path)
-    copied = import_reference_state(ours, restored["model"])
-    assert copied > 50
+
+    cfg = ModelConfig(
+        height=H, width=W, channels=3, patch_size=PATCH,
+        encoder_depth=1, decoder_depth=1, mlp_dim=64, num_heads=2,
+        qkv_features=32, max_temporal_len=8, spatial_compression_rate=8,
+        unembedding_upsample_rate=4, selection_mode="rl", remat=False,
+        dtype="float32",
+    )
+    fresh = VideoVAE(cfg, nnx.Rngs(99, sampling=100))
+    copied = import_reference_state(fresh, restored["model"])
+    assert copied > 100

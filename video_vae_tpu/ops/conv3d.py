@@ -56,19 +56,22 @@ def _pick_tile_h(h: int, n_taps: int, w: int, stride: int) -> Optional[int]:
     return None
 
 
-def _pick_frames(t: int, kt: int, cout: int) -> int:
-    """Temporal M-packing factor: F output frames share one matmul.
+def _pick_frames(t: int, kt: int, kh: int, kw: int, cout: int, h: int, w: int, stride: int):
+    """Temporal M-packing factor F (+ row tile): F output frames share one matmul.
 
     cout alone wastes the MXU's 128 M-rows (e.g. 16/128 = 12.5% for the UNet's
     base level); stacking F frames as (f·cout + co) rows with block-banded
     weights (frame f only reads window frames f..f+kt−1) fills M while the
     im2col taps are SHARED across frames — executed-FLOP overhead drops from
-    128/cout to ≈ (F+kt−1)/kt · 128/(F·cout).
+    128/cout to ≈ (F+kt−1)/kt · 128/(F·cout). F shrinks until the window's
+    im2col scratch fits VMEM. Returns (frames, tile_h) — (1, None) = no fit.
     """
-    for f in (8, 4, 2):
+    for f in (8, 4, 2, 1):
         if f * cout <= 128 and t % f == 0 and (f * cout) % 8 == 0:
-            return f
-    return 1
+            th = _pick_tile_h(h, (f + kt - 1) * kh * kw, w, stride)
+            if th is not None:
+                return f, th
+    return 1, _pick_tile_h(h, kt * kh * kw, w, stride)
 
 
 def pallas_conv_supported(x_shape, kernel_shape) -> bool:
@@ -79,9 +82,7 @@ def pallas_conv_supported(x_shape, kernel_shape) -> bool:
         return False
     if cout % 8:  # cout rows of the output block (×8 sublane tiling)
         return False
-    frames = _pick_frames(t, kt, cout)
-    n_taps = (frames + kt - 1) * kh * kw
-    th = _pick_tile_h(h, n_taps, w, _tap_stride(cin))
+    frames, th = _pick_frames(t, kt, kh, kw, cout, h, w, _tap_stride(cin))
     # small spatial extents: XLA's padded conv is fine and the per-tile
     # overheads dominate — only take over the big-feature-map levels
     return th is not None and h * w >= 128 * 128
@@ -192,10 +193,9 @@ def _conv3d_pallas_cf(xq, kernel, bias, interpret=False):
     b, t, cin, h, w = xq.shape
     kt, kh, kw, _, cout = kernel.shape
     stride = _tap_stride(cin)
-    frames = _pick_frames(t, kt, cout)
+    frames, th = _pick_frames(t, kt, kh, kw, cout, h, w, stride)
     win = frames + kt - 1
     n_taps = win * kh * kw
-    th = _pick_tile_h(h, n_taps, w, stride)
     k_pad = n_taps * stride
     m_pad = max(128, (((frames * cout) + 127) // 128) * 128)
 
