@@ -35,11 +35,14 @@ jax.config.update(
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-BATCH = 2
+BATCH = int(os.environ.get("VVT_BATCH", "2"))
 FRAMES = 16
 K_SHORT = 1
 K_LONG = 11
 REPEATS = 3
+# A/B knobs (default = shipping config)
+ATTN_IMPL = os.environ.get("VVT_ATTN_IMPL", "")
+UNET_LAYOUT = os.environ.get("VVT_UNET_LAYOUT", "")
 
 
 def timed_chain(chained, state, video, mask, k):
@@ -52,7 +55,12 @@ def main() -> None:
     from video_vae_tpu.core.config import ModelConfig
     from video_vae_tpu.models.vae import VideoVAE
 
-    cfg = ModelConfig(remat=False)  # flagship config; no remat on the inference path
+    overrides = {}
+    if ATTN_IMPL:
+        overrides["attention_impl"] = ATTN_IMPL
+    if UNET_LAYOUT:
+        overrides["unet_layout"] = UNET_LAYOUT
+    cfg = ModelConfig(remat=False, **overrides)  # flagship; no remat on inference
     # (remat is a training-memory optimization and clashes with scan-chained timing)
     graphdef, _ = nnx.split(nnx.eval_shape(lambda: VideoVAE(cfg, nnx.Rngs(0, sampling=1))))
 

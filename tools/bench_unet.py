@@ -132,10 +132,12 @@ def main() -> None:
         ch_axis = 2 if layout == "cf" else 4
 
         @functools.partial(jax.jit, static_argnums=(2,))
-        def chained(state, x, k, graphdef=graphdef, ch_axis=ch_axis):
+        def chained(state, x, k, graphdef=graphdef, ch_axis=ch_axis, layout=layout):
             def body(v, _):
                 model = nnx.merge(graphdef, state)
                 out = model(v)
+                if layout == "cf":  # cf UNet returns pixels-last
+                    out = jnp.transpose(out, (0, 1, 4, 2, 3))
                 idx = [slice(None)] * 5
                 idx[ch_axis] = slice(out.shape[ch_axis], None)
                 rest = v[tuple(idx)]

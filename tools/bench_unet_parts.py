@@ -130,6 +130,20 @@ def main():
     )
     cases["maxpool 16@256"] = (lambda v: max_pool_2x_cf(v), gn_x)
 
+    def pool_slices(x):
+        a = jnp.maximum(x[..., 0::2], x[..., 1::2])
+        return jnp.maximum(a[..., 0::2, :], a[..., 1::2, :])
+
+    def pool_reshape(x):
+        b, t, c, h, w = x.shape
+        y = x.reshape(b, t, c, h // 2, 2, w // 2, 2)
+        return jnp.max(jnp.max(y, axis=6), axis=4)
+
+    pool64 = data(64, 64)
+    for nm, fn in [("rw", max_pool_2x_cf), ("slices", pool_slices), ("reshape", pool_reshape)]:
+        cases[f"pool-{nm} 16@256"] = (fn, gn_x)
+        cases[f"pool-{nm} 64@64"] = (fn, pool64)
+
     names = sys.argv[1:] or list(cases)
     for name in names:
         fn, x = cases[name]

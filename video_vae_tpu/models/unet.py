@@ -260,10 +260,14 @@ class UpBlock3D(nnx.Module):
 
 
 class UNet3D(nnx.Module):
-    """(b,t,h,w,c_in) → (b,t,h,w,c_out) (or channels-first both ways), zero-init output.
+    """(b,t,h,w,c_in) → (b,t,h,w,c_out), zero-init output.
 
-    ``layout="cf"`` expects (b,t,c,h,w) in AND out — the decoder produces
-    conv features channels-first so no transpose exists anywhere in the path.
+    ``layout="cf"`` expects (b,t,c,h,w) INPUT — the decoder produces conv
+    features channels-first so no transpose exists anywhere in the path — and
+    still RETURNS (b,t,h,w,c_out): the final 1×1×1 conv is a plain channel
+    contraction, so emitting pixels-last there is free (an einsum output
+    layout, not a transpose pass; XLA's conv op at cout=3 cf was picking
+    pathological layouts worth ~3 ms, per the xplane trace).
     """
 
     def __init__(
@@ -340,5 +344,7 @@ class UNet3D(nnx.Module):
         for decoder, skip in zip(self.decoders, reversed(skips)):
             x = decoder(x, skip)
         if layout == "cf":
-            return self.final_conv.call_cf(x)
+            fc = self.final_conv
+            w = fc.kernel.value[0, 0, 0].astype(fc.dtype)  # (cin, cout)
+            return jnp.einsum("btchw,cd->bthwd", x.astype(fc.dtype), w) + fc.bias.value.astype(fc.dtype)
         return self.final_conv(x)

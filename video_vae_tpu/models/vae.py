@@ -160,11 +160,9 @@ class Decoder(nnx.Module):
         for layer in self.layers:
             x = layer(x, attn_mask)
         conv_features, direct = self.patch_unembedding(x)
-        unet_out = self.unet(conv_features)
-        if self.unet.layout == "cf":
-            # one small (b,t,3,H,W) transpose back to pixel layout
-            unet_out = jnp.transpose(unet_out, (0, 1, 3, 4, 2))
-        return direct + unet_out
+        # cf mode: features flow channels-first end-to-end; the UNet's final
+        # 1×1×1 contraction emits (b,t,h,w,c) directly (models/unet.py).
+        return direct + self.unet(conv_features)
 
 
 class VideoVAE(nnx.Module):

@@ -494,16 +494,19 @@ def conv3d_decomposed2d_cf(x, kernel, bias):
 
 
 def _cf_auto_impl(x_shape, kernel_shape, on_tpu: bool, interpret: bool) -> str:
+    """Measured on v5e (tools/bench_unet_parts.py, channels-first, in-context
+    methodology): the Pallas M-packed kernel wins 3-11× over s2d/XLA at every
+    supported shape (w ∈ {128, 256}); at w < 128 plain XLA is near-free
+    (0.1-0.7 ms) while s2d collapses (3-25 ms — the phase pack/unpack shuffles
+    at ≤64-lane widths dominate); the (3,7,7) mixer runs as kt temporally
+    shifted 2D convs."""
     b, t, c, h, w = x_shape
-    even_hw = h % 2 == 0 and w % 2 == 0
-    if on_tpu and kernel_shape[1] > 3 and h * w >= 128 * 128:
-        return "decomposed"
     if (on_tpu or interpret) and kernel_shape[1] <= 3 and pallas_conv_supported(
         (b, t, h, w, c), kernel_shape
     ):
         return "pallas"
-    if on_tpu and kernel_shape[1] <= 3 and even_hw and h >= 32:
-        return "s2d"
+    if on_tpu and kernel_shape[1] > 3 and h * w >= 128 * 128:
+        return "decomposed"
     return "xla"
 
 
