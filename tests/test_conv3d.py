@@ -132,6 +132,56 @@ def test_pallas_kernel_interpret_gradients():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-2, rtol=1e-2)
 
 
+def test_pallas_kernel_interpret_wide_spatial_chunked():
+    """kh=kw=7 (the UNet patch-mixer shape) exercises the K-streaming path:
+    the full im2col would blow the VMEM budget, so the kernel accumulates
+    window-frame chunks (ops/conv3d.py _pick_chunk)."""
+    from video_vae_tpu.ops.conv3d import _pick_chunk, _pick_frames, _tap_stride
+
+    ks = jax.random.split(jax.random.key(4), 3)
+    cin = cout = 12
+    x = jax.random.normal(ks[0], (1, 2, 128, 128, cin), jnp.float32)
+    kern = jax.random.normal(ks[1], (3, 7, 7, cin, cout), jnp.float32) * 0.05
+    bias = jax.random.normal(ks[2], (cout,), jnp.float32) * 0.1
+    assert pallas_conv_supported(x.shape, kern.shape)
+    stride = _tap_stride(cin)
+    frames, th = _pick_frames(2, 3, 7, 7, cout, 128, 128, stride)
+    assert _pick_chunk(frames + 2, 7, 7, th, 128, stride) < frames + 2  # really chunks
+    ref = _conv3d_xla(x, kern, bias)
+    out = conv3d_direct(x, kern, bias, "pallas", True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-3, rtol=1e-2)
+
+
+def test_pallas_pooled_matches_reference():
+    """conv3d_cf_pooled: fused conv+(1,2,2)-maxpool epilogue, fwd and grads."""
+    from video_vae_tpu.ops.conv3d import conv3d_cf_pooled
+    from video_vae_tpu.ops.norm import max_pool_2x_cf
+
+    ks = jax.random.split(jax.random.key(5), 3)
+    x = jax.random.normal(ks[0], (1, 2, 128, 128, 12), jnp.float32)
+    kern = jax.random.normal(ks[1], (3, 3, 3, 12, 16), jnp.float32) * 0.1
+    bias = jax.random.normal(ks[2], (16,), jnp.float32) * 0.1
+    ref_full = _conv3d_xla(x, kern, bias)
+    ref_pool = _from_cf(max_pool_2x_cf(_to_cf(ref_full)))
+    full, pooled = conv3d_cf_pooled(_to_cf(x), kern, bias, "pallas", True)
+    np.testing.assert_allclose(np.asarray(_from_cf(full)), np.asarray(ref_full), atol=2e-3, rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(_from_cf(pooled)), np.asarray(ref_pool), atol=2e-3, rtol=1e-2)
+
+    def loss_fused(x, k, b):
+        full, pooled = conv3d_cf_pooled(_to_cf(x), k, b, "xla", False)
+        return jnp.sum(full**2) + jnp.sum(pooled**3)
+
+    def loss_ref(x, k, b):
+        full = _conv3d_xla(x, k, b)
+        pooled = _from_cf(max_pool_2x_cf(_to_cf(full)))
+        return jnp.sum(full**2) + jnp.sum(pooled**3)
+
+    g_fused = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2)))(x, kern, bias)
+    g_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(x, kern, bias)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3)
+
+
 def test_group_norm_cf_matches_flax():
     from flax import nnx
 

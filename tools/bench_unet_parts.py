@@ -119,8 +119,9 @@ def main():
     conv_case("64->128@32 xla", _conv3d_xla_cf, 64, 128, 32)
     conv_case("128->128@32 s2d", conv3d_s2d_cf, 128, 128, 32)
     conv_case("128->128@32 xla", _conv3d_xla_cf, 128, 128, 32)
-    conv_case("mixer(3,7,7)@256 dec", conv3d_decomposed2d_cf, 12, 12, 256)
-    conv_case("mixer(3,7,7)@256 s2d", conv3d_s2d_cf, 12, 12, 256)
+    conv_case("mixer(3,7,7)@256 dec", conv3d_decomposed2d_cf, 12, 12, 256, k=7)
+    conv_case("mixer(3,7,7)@256 s2d", conv3d_s2d_cf, 12, 12, 256, k=7)
+    conv_case("mixer(3,7,7)@256 pallas", _conv3d_pallas_cf, 12, 12, 256, k=7)
 
     gn_x = data(16, 256)
     scale = jnp.ones((16,))

@@ -41,17 +41,29 @@ def _tap_stride(cin: int) -> int:
     return ((cin + 7) // 8) * 8
 
 
-def _pick_tile_h(h: int, n_taps: int, w: int, stride: int) -> Optional[int]:
-    """Largest row tile whose im2col scratch stays within ~7MB of VMEM.
+_PATCH_BUDGET = 6 * 1024 * 1024  # bytes of VMEM for the im2col scratch
+# (leaves room under the 16MB scoped-VMEM limit for the halo window, packed
+# weights, fp32 accumulator and per-chunk shifted copies at the worst shape)
 
-    Returns None when no tile ≥8 rows fits (output blocks need an 8-divisible
-    second-minor dim) — the caller falls back to XLA.
-    """
+
+def _pick_chunk(win: int, kh: int, kw: int, th: int, w: int, stride: int) -> Optional[int]:
+    """Window frames per K-chunk: the im2col scratch holds only `csz` window
+    frames' taps; the matmul streams chunk by chunk into an fp32 accumulator.
+    Returns the largest csz ≤ win whose scratch fits the budget (None = even
+    one frame's taps don't fit)."""
+    for csz in range(win, 0, -1):
+        if csz * kh * kw * stride * th * w * 2 <= _PATCH_BUDGET:
+            return csz
+    return None
+
+
+def _pick_tile_h(h: int, win: int, kh: int, kw: int, w: int, stride: int) -> Optional[int]:
+    """Largest row tile for which a K-chunking exists (output blocks need an
+    8-divisible second-minor dim, so th ≥ 8)."""
     for th in (32, 16, 8):
         if h % th:
             continue
-        patches_bytes = n_taps * stride * th * w * 2
-        if patches_bytes <= 7 * 1024 * 1024:
+        if _pick_chunk(win, kh, kw, th, w, stride) is not None:
             return th
     return None
 
@@ -63,15 +75,16 @@ def _pick_frames(t: int, kt: int, kh: int, kw: int, cout: int, h: int, w: int, s
     base level); stacking F frames as (f·cout + co) rows with block-banded
     weights (frame f only reads window frames f..f+kt−1) fills M while the
     im2col taps are SHARED across frames — executed-FLOP overhead drops from
-    128/cout to ≈ (F+kt−1)/kt · 128/(F·cout). F shrinks until the window's
-    im2col scratch fits VMEM. Returns (frames, tile_h) — (1, None) = no fit.
+    128/cout to ≈ (F+kt−1)/kt · 128/(F·cout). Wide spatial kernels whose full
+    im2col would blow VMEM stream K in window-frame chunks instead of
+    shrinking F. Returns (frames, tile_h) — (1, None) = no fit.
     """
     for f in (8, 4, 2, 1):
         if f * cout <= 128 and t % f == 0 and (f * cout) % 8 == 0:
-            th = _pick_tile_h(h, (f + kt - 1) * kh * kw, w, stride)
+            th = _pick_tile_h(h, f + kt - 1, kh, kw, w, stride)
             if th is not None:
                 return f, th
-    return 1, _pick_tile_h(h, kt * kh * kw, w, stride)
+    return 1, _pick_tile_h(h, kt, kh, kw, w, stride)
 
 
 def pallas_conv_supported(x_shape, kernel_shape) -> bool:
@@ -80,87 +93,189 @@ def pallas_conv_supported(x_shape, kernel_shape) -> bool:
     kt, kh, kw, _, cout = kernel_shape
     if w % 128 or h % 8 or (w & (w - 1)):  # power-of-two w: col id = iota&(w-1)
         return False
-    if cout % 8:  # cout rows of the output block (×8 sublane tiling)
+    if kh % 2 == 0 or kw % 2 == 0 or kt % 2 == 0:  # SAME halo assumes odd taps
         return False
     frames, th = _pick_frames(t, kt, kh, kw, cout, h, w, _tap_stride(cin))
+    if (frames * cout) % 8:  # sublane dim of the (1, F·cout, th·w) out block
+        return False
     # small spatial extents: XLA's padded conv is fine and the per-tile
     # overheads dominate — only take over the big-feature-map levels
     return th is not None and h * w >= 128 * 128
 
 
 def _conv_kernel(
-    x_hbm, w_ref, b_ref, o_ref, in_buf, patches_ref, sem,
-    *, kt, kh, kw, th, dma_rows, h, w, frames, groups, stride,
+    x_hbm, w_ref, b_ref, o_ref, *rest,
+    kt, kh, kw, th, h, w, t, frames, groups, stride, csz, pool,
 ):
-    """Channels-first direct conv: flat-lane im2col + temporal M-packing.
+    """Channels-first direct conv v4: in-kernel SAME halo, K-streaming, fused pool.
 
-    x_hbm:   (b, t+kt-1, stride, h_pad·w) — channel-padded, rows flattened
-             into the lane dim so every im2col store below is layout-
-             preserving (v1 stored (cin,th,w)→(cin,th·w) reshapes, a full
-             VMEM relayout per tap that made the kernel VPU-bound)
+    x_hbm:   (b, t, cin, h·w) — the RAW activation, unpadded (v3 pre-padded
+             t/c/h host-side: a full extra HBM round trip per conv that the
+             xplane trace showed as ~25% of UNet time in 'data formatting')
     w_ref:   (m_pad, K_pad) block-banded packed weights: row f·cout+co reads
              only window-frame columns f..f+kt−1 (see _pack_weights_mf)
-    o_ref:   block (frames, cout, th·w) — F output frames per grid step
-    in_buf:  (frames+kt-1, stride, dma_rows·w) VMEM window
-    patches: (K_pad, th·w) im2col over ALL window frames — taps are shared
-             by the F packed output frames, the banded weights select them
+    o_ref:   block (1, F·cout, th·w) — F output frames per grid step, frame
+             and channel flattened so the sublane dim stays 8-aligned even
+             for cout=12 (the patch-mixer)
+    p_ref:   block (1, F·cout, th·w//4) fused 2×2 spatial max pool of the
+             output (None when pool=False; see conv3d_cf_pooled)
+    in_buf:  (frames+kt-1, stride, dma_rows·w) VMEM halo window
+    patches: (csz·kh·kw·stride, th·w) im2col scratch for `csz` window frames —
+             wide kernels (7×7 mixer) stream K window-frame-chunk by chunk
+             into an fp32 accumulator instead of materializing all taps
+
+    Halo handling (all in-kernel):
+    * temporal: one async copy per window frame, slot-clamped; frames outside
+      [0, t) zero their slot instead (SAME padding)
+    * rows: constant-size DMA with the start clamped into [0, h−dma_rows];
+      at the top/bottom tiles the data lands ph rows off — repaired with a
+      STATIC lane roll of ph·w under @pl.when, then the halo rows are zeroed
+    * channels: non-8-aligned cin is zero-padded to `stride` host-side (only
+      the cin=12 convs; Mosaic requires 8-aligned sublane slice sizes)
 
     Lane shifts are hoisted: ONE roll+mask per dw≠0 over the whole window
     (kw−1 rolls total) instead of one per tap; a flat roll crosses row
     boundaries exactly at the columns the SAME-padding mask zeroes anyway
     (w is a power of two here, so the column id is iota&(w−1)).
     """
+    if pool:
+        p_ref, in_buf, patches_ref, sems = rest
+    else:
+        (in_buf, patches_ref, sems), p_ref = rest, None
     i = pl.program_id(0)
     tiles_per_frame = h // th
     win = frames + kt - 1
+    ph, pt = kh // 2, kt // 2
+    dma_rows = th + kh - 1
+    L = dma_rows * w
     rem = i % (groups * tiles_per_frame)
     b_idx = i // (groups * tiles_per_frame)
     g_idx = rem // tiles_per_frame
     row0 = (rem % tiles_per_frame) * th
 
-    copy = pltpu.make_async_copy(
-        x_hbm.at[b_idx, pl.ds(g_idx * frames, win), :, pl.ds(row0 * w, dma_rows * w)],
-        in_buf,
-        sem,
-    )
-    copy.start()
-    copy.wait()
+    # ---- fill the halo window --------------------------------------------
+    # cin == stride here: the wrapper pads non-8-aligned channel counts
+    # host-side (Mosaic requires 8-aligned sublane slice sizes in DMAs).
+    whole_frame = dma_rows >= h  # single row tile: DMA the full frame
+    if whole_frame:
+        rs = 0
+    else:
+        rs = jnp.clip(row0 - ph, 0, h - dma_rows)
 
-    L = dma_rows * w
-    # channels are pre-padded to `stride` (×8 sublanes); every tap block
-    # below stores a full stride-row slab, so the im2col buffer is fully
-    # overwritten each grid step — no zero-fill needed (channel-pad rows are
-    # zeros in BOTH the input and the packed weights).
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (win, stride, L), dimension=2) & (w - 1)
-    shifted = {0: in_buf[:]}
-    for dw in range(kw):
-        shift = dw - kw // 2  # e.g. −1, 0, +1 for kw=3
-        if shift == 0:
-            continue
-        # Mosaic's lane rotate only handles 32-bit elements
-        rolled = pltpu.roll(in_buf[:].astype(jnp.float32), shift=(-shift) % L, axis=2)
-        if shift < 0:
-            # output col j reads input col j+shift: data moved right; col 0
-            # now holds the previous row's last pixel — zero it (SAME pad)
-            rolled = jnp.where(col_ids < -shift, 0.0, rolled)
+    f0 = g_idx * frames - pt
+    copies = []
+    for df in range(win):
+        sf = f0 + df
+        valid = jnp.logical_and(sf >= 0, sf < t)
+        if whole_frame:
+            dst = in_buf.at[df, :, pl.ds(ph * w, h * w)]
+            src = x_hbm.at[b_idx, jnp.clip(sf, 0, t - 1), :, :]
         else:
-            rolled = jnp.where(col_ids >= w - shift, 0.0, rolled)
-        shifted[shift] = rolled.astype(in_buf.dtype)
+            dst = in_buf.at[df]
+            src = x_hbm.at[b_idx, jnp.clip(sf, 0, t - 1), :, pl.ds(rs * w, L)]
+        copy = pltpu.make_async_copy(src, dst, sems.at[df])
+        @pl.when(valid)
+        def _start(copy=copy):
+            copy.start()
+        @pl.when(jnp.logical_not(valid))
+        def _zero(df=df):
+            in_buf[df, :, :] = jnp.zeros((stride, L), in_buf.dtype)
+        copies.append((valid, copy))
+    if whole_frame and ph:
+        in_buf[:, :, : ph * w] = jnp.zeros((win, stride, ph * w), in_buf.dtype)
+        in_buf[:, :, (ph + h) * w :] = jnp.zeros(
+            (win, stride, L - (ph + h) * w), in_buf.dtype
+        )
+    for valid, copy in copies:
+        @pl.when(valid)
+        def _wait(copy=copy):
+            copy.wait()
 
-    tap = 0
-    for dt in range(win):
-        for dh in range(kh):
-            for dw in range(kw):
-                shift = dw - kw // 2
-                piece = shifted[shift][dt, :, dh * w : dh * w + th * w]
-                patches_ref[tap * stride : (tap + 1) * stride, :] = piece
-                tap += 1
-    out = jnp.dot(
-        w_ref[:], patches_ref[:], preferred_element_type=jnp.float32
-    )  # (m_pad, th·w)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (win, stride, L), dimension=2) >> (
+        w.bit_length() - 1
+    )  # lane → row index within the window (w is a power of two)
+    if not whole_frame and ph:
+        # top tile: buffer holds rows [0, dma_rows) but taps expect
+        # [row0−ph, …) — shift content down ph rows, zero the halo
+        @pl.when(row0 == 0)
+        def _top():
+            rolled = pltpu.roll(in_buf[:].astype(jnp.float32), shift=ph * w, axis=2)
+            in_buf[:] = jnp.where(row_ids < ph, 0.0, rolled).astype(in_buf.dtype)
+
+        @pl.when(row0 == h - th)
+        def _bottom():
+            rolled = pltpu.roll(
+                in_buf[:].astype(jnp.float32), shift=(-ph * w) % L, axis=2
+            )
+            in_buf[:] = jnp.where(row_ids >= dma_rows - ph, 0.0, rolled).astype(
+                in_buf.dtype
+            )
+
+    # ---- K-streamed im2col + matmul --------------------------------------
+    # Lane shifts are hoisted PER CHUNK (one roll+mask per dw≠0 over the
+    # chunk's window frames): same total roll work as whole-window hoisting,
+    # but the live shifted copies shrink by win/csz — the kw=7 mixer's 6
+    # whole-window copies alone would blow the 16MB scoped-VMEM limit.
+    chunk_k = csz * kh * kw * stride
+    out = None
+    for dt0 in range(0, win, csz):
+        ncf = min(csz, win - dt0)
+        window = in_buf[dt0 : dt0 + ncf]  # (ncf, stride, L)
+        col_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (ncf, stride, L), dimension=2
+        ) & (w - 1)
+        shifted = {0: window}
+        for dw in range(kw):
+            shift = dw - kw // 2  # e.g. −1, 0, +1 for kw=3
+            if shift == 0:
+                continue
+            # Mosaic's lane rotate only handles 32-bit elements
+            rolled = pltpu.roll(window.astype(jnp.float32), shift=(-shift) % L, axis=2)
+            if shift < 0:
+                # output col j reads input col j+shift: data moved right; col 0
+                # now holds the previous row's last pixel — zero it (SAME pad)
+                rolled = jnp.where(col_ids < -shift, 0.0, rolled)
+            else:
+                rolled = jnp.where(col_ids >= w - shift, 0.0, rolled)
+            shifted[shift] = rolled.astype(window.dtype)
+
+        tap = 0
+        for dt in range(ncf):
+            for dh in range(kh):
+                for dw in range(kw):
+                    shift = dw - kw // 2
+                    piece = shifted[shift][dt, :, dh * w : dh * w + th * w]
+                    patches_ref[tap * stride : (tap + 1) * stride, :] = piece
+                    tap += 1
+        if ncf < csz:
+            # trailing short chunk: the unwritten tap rows contract against
+            # zero weight columns, but uninitialized VMEM can hold NaNs
+            patches_ref[ncf * kh * kw * stride :, :] = jnp.zeros(
+                ((csz - ncf) * kh * kw * stride, th * w), patches_ref.dtype
+            )
+        part = jnp.dot(
+            w_ref[:, dt0 * kh * kw * stride : dt0 * kh * kw * stride + chunk_k],
+            patches_ref[:],
+            preferred_element_type=jnp.float32,
+        )  # (m_pad, th·w); trailing short chunk contracts stale taps against
+        # zero weight columns (w_ref columns past win·kh·kw·stride are zero)
+        out = part if out is None else out + part
     out = out + b_ref[:].astype(jnp.float32)
-    cout = o_ref.shape[1]
-    o_ref[...] = out[: frames * cout].reshape(frames, cout, th * w).astype(o_ref.dtype)
+    fcout = o_ref.shape[1]  # frames·cout
+    out = out[:fcout]
+    o_ref[...] = out[None].astype(o_ref.dtype)
+    if pool:
+        # Row pairs are CONTIGUOUS lane blocks of the flat output — reduce
+        # them with plain static slices. The column (lane-strided) pair max
+        # stays in the wrapper: Mosaic has no lane-dim strided loads, strided
+        # value-slicing lowers to an unsupported gather, and lane-splitting
+        # value reshapes are unsupported shape casts.
+        for r2 in range(th // 2):
+            v = jnp.maximum(
+                out[:, (2 * r2) * w : (2 * r2 + 1) * w],
+                out[:, (2 * r2 + 1) * w : (2 * r2 + 2) * w],
+            )  # (f·c, w)
+            p_ref[0, :, r2, :] = v.astype(p_ref.dtype)
 
 
 def _pack_weights_mf(kernel, bias, frames, stride, m_pad, k_pad):
@@ -169,6 +284,8 @@ def _pack_weights_mf(kernel, bias, frames, stride, m_pad, k_pad):
     Row f·cout+co, column ((dt'·kh+dh)·kw+dw)·stride+ci holds W[dt'−f,dh,dw,ci,co]
     when 0 ≤ dt'−f < kt, else 0 — output frame f of the window only contracts
     its own kt input frames; the im2col taps over the whole window are shared.
+    Columns past win·kh·kw·stride (K-chunk round-up) stay zero: the trailing
+    short chunk contracts garbage patch rows against them.
     """
     kt, kh, kw, cin, cout = kernel.shape
     blk = kh * kw * stride
@@ -187,67 +304,92 @@ def _pack_weights_mf(kernel, bias, frames, stride, m_pad, k_pad):
     return wmat, bias_col
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _conv3d_pallas_cf(xq, kernel, bias, interpret=False):
-    """Pallas direct conv on channels-first input (b, t, cin, h, w) → same layout."""
+@functools.partial(jax.jit, static_argnames=("interpret", "pool"))
+def _conv3d_pallas_cf(xq, kernel, bias, interpret=False, pool=False):
+    """Pallas direct conv on channels-first input (b, t, cin, h, w) → same layout.
+
+    pool=True additionally returns the (1,2,2)-max-pooled output, computed in
+    the kernel epilogue (returns a (full, pooled) tuple).
+    """
     b, t, cin, h, w = xq.shape
     kt, kh, kw, _, cout = kernel.shape
     stride = _tap_stride(cin)
     frames, th = _pick_frames(t, kt, kh, kw, cout, h, w, stride)
     win = frames + kt - 1
-    n_taps = win * kh * kw
-    k_pad = n_taps * stride
+    csz = _pick_chunk(win, kh, kw, th, w, stride)
+    n_chunks = -(-win // csz)
+    k_pad = n_chunks * csz * kh * kw * stride
     m_pad = max(128, (((frames * cout) + 127) // 128) * 128)
-
-    # t-SAME-padded, h padded so every DMA window of dma_rows rows starting at
-    # multiples of th stays in bounds; rows then flatten into the lane dim
-    # (HBM-contiguous — a free reshape) for the in-kernel flat-lane im2col.
-    # Channels pad up to the tap stride (×8) — cin is the DMA's sublane dim.
     dma_rows = th + kh - 1
-    h_pad = (h // th - 1) * th + dma_rows
-    xq = jnp.pad(
-        xq,
-        (
-            (0, 0),
-            (kt // 2, kt // 2),
-            (0, stride - cin),
-            (kh // 2, h_pad - h - kh // 2),
-            (0, 0),
-        ),
-    )
-    xq = xq.reshape(b, t + 2 * (kt // 2), stride, h_pad * w)
+
+    # raw activation, rows flattened into the lane dim (HBM-contiguous — a
+    # free reshape); ALL SAME-padding happens inside the kernel via clamped
+    # halo DMAs. Only non-8-aligned channel counts (the two cin=12 convs) pay
+    # a pad copy — Mosaic requires 8-aligned sublane slice sizes in DMAs.
+    if cin < stride:
+        xq = jnp.pad(xq, ((0, 0), (0, 0), (0, stride - cin), (0, 0), (0, 0)))
+    xq = xq.reshape(b, t, stride, h * w)
 
     wmat, bias_col = _pack_weights_mf(kernel, bias, frames, stride, m_pad, k_pad)
 
     tiles_per_frame = h // th
     groups = t // frames
     grid = (b * groups * tiles_per_frame,)
-    out = pl.pallas_call(
+    # out rows are (frame, cout)-flattened so the sublane dim is F·cout
+    # (8-aligned even when cout isn't, e.g. the cout=12 patch-mixer); the
+    # (b·groups, F·cout, h·w) → (b, t, cout, h, w) reshape below is free.
+    out_specs = [
+        pl.BlockSpec(
+            (1, frames * cout, th * w),
+            lambda i: (i // tiles_per_frame, 0, i % tiles_per_frame),
+            memory_space=pltpu.VMEM,
+        )
+    ]
+    out_shapes = [jax.ShapeDtypeStruct((b * groups, frames * cout, h * w), xq.dtype)]
+    if pool:
+        out_specs.append(
+            pl.BlockSpec(
+                (1, frames * cout, th // 2, w),
+                lambda i: (i // tiles_per_frame, 0, i % tiles_per_frame, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shapes.append(
+            jax.ShapeDtypeStruct((b * groups, frames * cout, h // 2, w), xq.dtype)
+        )
+    res = pl.pallas_call(
         functools.partial(
             _conv_kernel,
-            kt=kt, kh=kh, kw=kw, th=th, dma_rows=dma_rows,
-            h=h, w=w, frames=frames, groups=groups, stride=stride,
+            kt=kt, kh=kh, kw=kw, th=th, h=h, w=w, t=t,
+            frames=frames, groups=groups, stride=stride, csz=csz,
+            pool=pool,
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # manual halo DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # manual halo DMA
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (frames, cout, th * w),
-            lambda i: (i // tiles_per_frame, 0, i % tiles_per_frame),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b * t, cout, h * w), xq.dtype),
+        out_specs=out_specs if pool else out_specs[0],
+        out_shape=out_shapes if pool else out_shapes[0],
         scratch_shapes=[
             pltpu.VMEM((win, stride, dma_rows * w), xq.dtype),
-            pltpu.VMEM((k_pad, th * w), xq.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((csz * kh * kw * stride, th * w), xq.dtype),
+            pltpu.SemaphoreType.DMA((win,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # the default 16MB scoped-VMEM cap counts double-buffered in/out
+            # blocks; the pooled variant and the chunked 7×7 mixer need room
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(xq, wmat, bias_col)
-    return out.reshape(b, t, cout, h, w)
+    if pool:
+        full, vpooled = res  # rows already pooled in-kernel; columns here
+        vpooled = vpooled.reshape(b, t, cout, h // 2, w)
+        pooled = jnp.maximum(vpooled[..., 0::2], vpooled[..., 1::2])
+        return full.reshape(b, t, cout, h, w), pooled
+    return res.reshape(b, t, cout, h, w)  # (b·groups, F·cout, h·w) is contiguous as (b,t,cout,h,w)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -368,16 +510,14 @@ def conv3d_direct(
     on_tpu = jax.devices()[0].platform == "tpu"
     even_hw = x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0
     if impl == "auto":
-        # per-shape winners measured on v5e (tools/bench_conv*.py):
-        # wide spatial kernels -> space-to-depth (6.7x on the 7x7 mixer);
-        # 3x3 at large maps -> the Pallas direct kernel; small maps -> s2d
-        # when even, else XLA.
-        if on_tpu and kernel.shape[1] > 3 and x.shape[2] * x.shape[3] >= 128 * 128:
-            impl = "decomposed"
-        elif (on_tpu or interpret) and kernel.shape[1] <= 3 and pallas_conv_supported(
-            x.shape, kernel.shape
-        ):
+        # per-shape winners measured on v5e (tools/bench_unet_parts.py):
+        # the Pallas direct kernel at every supported shape (incl. the 7x7
+        # mixer via K-chunking); temporally-decomposed 2D convs for wide
+        # kernels it can't take; s2d at mid-size even maps; XLA otherwise.
+        if (on_tpu or interpret) and pallas_conv_supported(x.shape, kernel.shape):
             impl = "pallas"
+        elif on_tpu and kernel.shape[1] > 3 and x.shape[2] * x.shape[3] >= 128 * 128:
+            impl = "decomposed"
         elif on_tpu and kernel.shape[1] <= 3 and even_hw and x.shape[2] >= 32:
             impl = "s2d"
         else:
@@ -495,15 +635,13 @@ def conv3d_decomposed2d_cf(x, kernel, bias):
 
 def _cf_auto_impl(x_shape, kernel_shape, on_tpu: bool, interpret: bool) -> str:
     """Measured on v5e (tools/bench_unet_parts.py, channels-first, in-context
-    methodology): the Pallas M-packed kernel wins 3-11× over s2d/XLA at every
-    supported shape (w ∈ {128, 256}); at w < 128 plain XLA is near-free
-    (0.1-0.7 ms) while s2d collapses (3-25 ms — the phase pack/unpack shuffles
-    at ≤64-lane widths dominate); the (3,7,7) mixer runs as kt temporally
-    shifted 2D convs."""
+    methodology): the Pallas M-packed kernel wins 2-11× over s2d/XLA/decomposed
+    at every supported shape — including the (3,7,7) patch-mixer via K-chunking
+    (4.0 ms vs 9.9 decomposed / 8.9 s2d at 12ch@256²); at w < 128 plain XLA is
+    near-free (0.1-0.7 ms) while s2d collapses (3-25 ms — the phase pack/unpack
+    shuffles at ≤64-lane widths dominate)."""
     b, t, c, h, w = x_shape
-    if (on_tpu or interpret) and kernel_shape[1] <= 3 and pallas_conv_supported(
-        (b, t, h, w, c), kernel_shape
-    ):
+    if (on_tpu or interpret) and pallas_conv_supported((b, t, h, w, c), kernel_shape):
         return "pallas"
     if on_tpu and kernel_shape[1] > 3 and h * w >= 128 * 128:
         return "decomposed"
@@ -568,3 +706,54 @@ def _conv3d_cf_bwd(impl, interpret, residuals, g):
 
 
 conv3d_cf.defvjp(_conv3d_cf_fwd, _conv3d_cf_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def conv3d_cf_pooled(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray,
+    impl: str = "auto",
+    interpret: bool = False,
+):
+    """Stride-1 SAME conv3d + fused (1,2,2) max pool, channels-first.
+
+    Returns ``(full, pooled)`` — the conv output and its 2×2 spatial max pool,
+    computed in the Pallas kernel epilogue when the direct kernel applies
+    (zero extra HBM reads; XLA's reduce-window on a separate pass costs ~ms at
+    256²). NOTE: only valid where the pool directly follows the conv — the
+    UNet's DownBlocks pool after GroupNorm+SiLU (non-monotonic), so they can
+    NOT use this; it exists for conv→pool patterns (e.g. discriminator-style
+    heads) and as the fused building block it is.
+    """
+    from video_vae_tpu.ops.norm import max_pool_2x_cf
+
+    if impl == "auto":
+        on_tpu = jax.devices()[0].platform == "tpu"
+        impl = _cf_auto_impl(x.shape, kernel.shape, on_tpu, interpret)
+    if impl == "pallas":
+        return _conv3d_pallas_cf(x, kernel, bias, interpret=interpret, pool=True)
+    full = conv3d_cf(x, kernel, bias, impl, interpret)
+    return full, max_pool_2x_cf(full)
+
+
+def _conv3d_cf_pooled_fwd(x, kernel, bias, impl, interpret):
+    full, pooled = conv3d_cf_pooled(x, kernel, bias, impl, interpret)
+    return (full, pooled), (x, kernel, full)
+
+
+def _conv3d_cf_pooled_bwd(impl, interpret, residuals, g):
+    """Route the pooled cotangent through max-pool's VJP (argmax selection on
+    the saved conv output), then one shared conv backward."""
+    from video_vae_tpu.ops.norm import max_pool_2x_cf
+
+    x, kernel, full = residuals
+    g_full, g_pool = g
+    _, pool_vjp = jax.vjp(max_pool_2x_cf, full)
+    (g_from_pool,) = pool_vjp(g_pool.astype(full.dtype))
+    return _conv3d_cf_bwd(
+        impl, interpret, (x, kernel), g_full.astype(jnp.float32) + g_from_pool.astype(jnp.float32)
+    )
+
+
+conv3d_cf_pooled.defvjp(_conv3d_cf_pooled_fwd, _conv3d_cf_pooled_bwd)

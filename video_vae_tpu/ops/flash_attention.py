@@ -230,43 +230,50 @@ _LN_EPS = 1e-6
 
 
 def _fused_kernel(
-    q_ref, k_ref, v_ref, mask_ref, qs_ref, ks_ref, cos_ref, sin_ref, o_ref,
-    *, scale: float,
+    qkv_ref, mask_ref, qs_ref, ks_ref, cos_ref, sin_ref, o_ref,
+    *, scale: float, num_heads: int,
 ):
-    d = q_ref.shape[-1]
+    """Block = a batch tile of the FULL fused (BB, S, 3·H·D) projection output
+    (full-lane blocks — per-head 64-lane blocks violate the 128-lane tiling on
+    real TPUs); heads are static lane slices looped in-kernel. The op is
+    memory-bound at these sequence lengths, so one HBM pass over qkv is the
+    win; per-head matmul shape doesn't matter."""
+    d = qs_ref.shape[-1]
+    hd = num_heads * d
     sign = jnp.where(
         jax.lax.broadcasted_iota(jnp.int32, (1, 1, d), dimension=2) < d // 2,
         -1.0,
         1.0,
     )
+    mask = mask_ref[:]  # (BB, 1, S) int32
+    cos = cos_ref[:].astype(jnp.float32)[None]
+    sin = sin_ref[:].astype(jnp.float32)[None]
 
-    def norm_rope(x_ref, scale_ref):
-        x = x_ref[:].astype(jnp.float32)  # (BB, S, D)
+    def norm_rope(x, scale_ref):
+        x = x.astype(jnp.float32)  # (BB, S, D)
         mean = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(x), axis=-1, keepdims=True) - jnp.square(mean)
         xn = (x - mean) * jax.lax.rsqrt(var + _LN_EPS) * scale_ref[:].astype(jnp.float32)
-        cos = cos_ref[:].astype(jnp.float32)[None]
-        sin = sin_ref[:].astype(jnp.float32)[None]
         rot = pltpu.roll(xn, shift=d // 2, axis=2) * sign
         return xn * cos + rot * sin
 
-    q = norm_rope(q_ref, qs_ref)
-    k = norm_rope(k_ref, ks_ref)
-    v = v_ref[:]
-    s = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )
-    s = s * scale
-    mask = mask_ref[:]  # (BB, 1, S) int32
-    s = jnp.where(mask > 0, s, _NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / l).astype(v.dtype)
-    o = jax.lax.dot_general(
-        p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )
-    o_ref[:] = o.astype(o_ref.dtype)
+    for h in range(num_heads):
+        q = norm_rope(qkv_ref[:, :, h * d : (h + 1) * d], qs_ref)
+        k = norm_rope(qkv_ref[:, :, hd + h * d : hd + (h + 1) * d], ks_ref)
+        v = qkv_ref[:, :, 2 * hd + h * d : 2 * hd + (h + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        s = s * scale
+        s = jnp.where(mask > 0, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = (p / l).astype(v.dtype)
+        o = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        o_ref[:, :, h * d : (h + 1) * d] = o.astype(o_ref.dtype)
 
 
 def _reference_fused_chain(qkv, q_scale, k_scale, mask, num_heads, cos, sin):
@@ -351,25 +358,16 @@ def _fused_call(qkv, q_scale, k_scale, mask, num_heads, rope_base, rope_alpha, i
         if pad:
             m = jnp.concatenate([m, jnp.ones((pad, 1, s), jnp.int32)], axis=0)
 
-    def head_block(offset_heads):
-        # lane-block index into the fused (B, S, 3·H·D) array, per (i, h)
-        return pl.BlockSpec(
-            (bb, s, d),
-            lambda i, h, o=offset_heads: (i, 0, o + h),
-            memory_space=pltpu.VMEM,
-        )
-
-    scale_spec = pl.BlockSpec((1, d), lambda i, h: (0, 0), memory_space=pltpu.VMEM)
-    table_spec = pl.BlockSpec((s, d), lambda i, h: (0, 0), memory_space=pltpu.VMEM)
-    mask_spec = pl.BlockSpec((bb, 1, s), lambda i, h: (i, 0, 0), memory_space=pltpu.VMEM)
+    qkv_spec = pl.BlockSpec((bb, s, three_hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    scale_spec = pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec((s, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((bb, 1, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        functools.partial(_fused_kernel, scale=1.0 / (d**0.5)),
-        grid=((b + pad) // bb, num_heads),
+        functools.partial(_fused_kernel, scale=1.0 / (d**0.5), num_heads=num_heads),
+        grid=((b + pad) // bb,),
         in_specs=[
-            head_block(0),                  # q of head h
-            head_block(num_heads),          # k of head h
-            head_block(2 * num_heads),      # v of head h
+            qkv_spec,
             mask_spec,
             scale_spec,
             scale_spec,
@@ -377,12 +375,13 @@ def _fused_call(qkv, q_scale, k_scale, mask, num_heads, rope_base, rope_alpha, i
             table_spec,
         ],
         out_specs=pl.BlockSpec(
-            (bb, s, d), lambda i, h: (i, 0, h), memory_space=pltpu.VMEM
+            (bb, s, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b + pad, s, hd), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(
-        qkv, qkv, qkv, m,
+        qkv, m,
         q_scale.reshape(1, d), k_scale.reshape(1, d),
         cos.astype(jnp.float32), sin.astype(jnp.float32),
     )

@@ -43,20 +43,12 @@ def group_norm_cf(
 def max_pool_2x_cf(x: jnp.ndarray) -> jnp.ndarray:
     """Spatial-only (1,2,2) max pool on (b, t, c, h, w).
 
-    Dispatch measured on v5e (tools/bench_unet_parts.py): at w ≥ 256
-    ``reduce_window`` wins (0.23 vs 0.38 ms at 16ch@256²); at narrow widths
-    the strided-slice max is ~9× faster (0.05 vs 0.41 ms at 64ch@64²) —
-    reduce_window's windowed lowering pays per-lane shuffles that collapse
-    when w no longer fills the 128-lane registers.
+    Strided-slice max rather than ``lax.reduce_window``: standalone the two
+    are comparable at 256² (0.38 vs 0.23 ms) and slices win 9× at 64²
+    (0.05 vs 0.41), but IN CONTEXT reduce-window blows up to ~4.7 ms at
+    16ch@256² (xplane trace of the full UNet) — its windowed lowering can't
+    fuse with the surrounding GroupNorm+SiLU loop fusion, while slice+max is
+    ordinary elementwise data flow XLA fuses freely.
     """
-    if x.shape[-1] >= 256:
-        return jax.lax.reduce_window(
-            x,
-            -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
-            jax.lax.max,
-            window_dimensions=(1, 1, 1, 2, 2),
-            window_strides=(1, 1, 1, 2, 2),
-            padding="VALID",
-        )
     a = jnp.maximum(x[..., 0::2], x[..., 1::2])
     return jnp.maximum(a[..., 0::2, :], a[..., 1::2, :])
