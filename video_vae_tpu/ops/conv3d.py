@@ -514,7 +514,11 @@ def conv3d_direct(
         # the Pallas direct kernel at every supported shape (incl. the 7x7
         # mixer via K-chunking); temporally-decomposed 2D convs for wide
         # kernels it can't take; s2d at mid-size even maps; XLA otherwise.
-        if (on_tpu or interpret) and pallas_conv_supported(x.shape, kernel.shape):
+        if (
+            (on_tpu or interpret)
+            and x.dtype.itemsize == 2  # VMEM budgets assume 2-byte elements
+            and pallas_conv_supported(x.shape, kernel.shape)
+        ):
             impl = "pallas"
         elif on_tpu and kernel.shape[1] > 3 and x.shape[2] * x.shape[3] >= 128 * 128:
             impl = "decomposed"
@@ -633,7 +637,7 @@ def conv3d_decomposed2d_cf(x, kernel, bias):
     return y.reshape(b, t, cout, h, w).astype(x.dtype)
 
 
-def _cf_auto_impl(x_shape, kernel_shape, on_tpu: bool, interpret: bool) -> str:
+def _cf_auto_impl(x_shape, dtype, kernel_shape, on_tpu: bool, interpret: bool) -> str:
     """Measured on v5e (tools/bench_unet_parts.py, channels-first, in-context
     methodology): the Pallas M-packed kernel wins 2-11× over s2d/XLA/decomposed
     at every supported shape — including the (3,7,7) patch-mixer via K-chunking
@@ -641,7 +645,11 @@ def _cf_auto_impl(x_shape, kernel_shape, on_tpu: bool, interpret: bool) -> str:
     near-free (0.1-0.7 ms) while s2d collapses (3-25 ms — the phase pack/unpack
     shuffles at ≤64-lane widths dominate)."""
     b, t, c, h, w = x_shape
-    if (on_tpu or interpret) and pallas_conv_supported((b, t, h, w, c), kernel_shape):
+    if (
+        (on_tpu or interpret)
+        and jnp.dtype(dtype).itemsize == 2  # VMEM budgets assume 2-byte elements
+        and pallas_conv_supported((b, t, h, w, c), kernel_shape)
+    ):
         return "pallas"
     if on_tpu and kernel_shape[1] > 3 and h * w >= 128 * 128:
         return "decomposed"
@@ -662,7 +670,7 @@ def conv3d_cf(
     """
     if impl == "auto":
         on_tpu = jax.devices()[0].platform == "tpu"
-        impl = _cf_auto_impl(x.shape, kernel.shape, on_tpu, interpret)
+        impl = _cf_auto_impl(x.shape, x.dtype, kernel.shape, on_tpu, interpret)
     if impl == "pallas":
         return _conv3d_pallas_cf(x, kernel, bias, interpret=interpret)
     if impl == "s2d":
@@ -677,16 +685,24 @@ def _conv3d_cf_fwd(x, kernel, bias, impl, interpret):
 
 
 def _conv3d_cf_bwd(impl, interpret, residuals, g):
-    """Gradients via XLA convolutions expressed directly in cf layout."""
+    """cf-layout gradients. dx is itself a stride-1 SAME conv (spatially
+    flipped, IO-swapped kernel), so it re-enters conv3d_cf's dispatch and runs
+    on the Pallas direct kernel at supported shapes — XLA's padded conv made
+    the backward as MXU-hostile as the round-1 forward. Matches the forward's
+    precision (bf16 operands, fp32 accumulation). dkernel/dbias stay XLA:
+    wgrad contracts over b·t·h·w into a tiny kernel — a different shape that
+    XLA handles fine."""
     x, kernel = residuals
-    g = g.astype(jnp.float32)
     kt, kh, kw, cin, cout = kernel.shape
     flipped = jnp.swapaxes(jnp.flip(kernel, axis=(0, 1, 2)), 3, 4)  # (kt,kh,kw,cout,cin)
-    dx = jax.lax.conv_general_dilated(
-        g, flipped.astype(jnp.float32), (1, 1, 1), "SAME",
-        dimension_numbers=_CF_DIMS,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    dx = conv3d_cf(
+        g.astype(x.dtype),
+        flipped.astype(x.dtype),
+        jnp.zeros((cin,), jnp.float32),
+        "auto",
+        interpret,
+    )
+    g = g.astype(jnp.float32)
     # wgrad: contraction over (b, t, h, w) with x's channel dim as the "batch"
     # and g's channel dim as the kernel "output feature" — expressed through
     # dimension_numbers so XLA handles any internal layout change.
@@ -730,7 +746,7 @@ def conv3d_cf_pooled(
 
     if impl == "auto":
         on_tpu = jax.devices()[0].platform == "tpu"
-        impl = _cf_auto_impl(x.shape, kernel.shape, on_tpu, interpret)
+        impl = _cf_auto_impl(x.shape, x.dtype, kernel.shape, on_tpu, interpret)
     if impl == "pallas":
         return _conv3d_pallas_cf(x, kernel, bias, interpret=interpret, pool=True)
     full = conv3d_cf(x, kernel, bias, impl, interpret)

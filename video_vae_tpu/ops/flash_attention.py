@@ -230,36 +230,65 @@ _LN_EPS = 1e-6
 
 
 def _fused_kernel(
-    qkv_ref, mask_ref, qs_ref, ks_ref, cos_ref, sin_ref, o_ref,
+    qkv_ref, mask_ref, qs_ref, ks_ref, cos_ref, sin_ref, seg_ref, o_ref,
     *, scale: float, num_heads: int,
 ):
     """Block = a batch tile of the FULL fused (BB, S, 3·H·D) projection output
     (full-lane blocks — per-head 64-lane blocks violate the 128-lane tiling on
-    real TPUs); heads are static lane slices looped in-kernel. The op is
-    memory-bound at these sequence lengths, so one HBM pass over qkv is the
-    win; per-head matmul shape doesn't matter."""
-    d = qs_ref.shape[-1]
-    hd = num_heads * d
-    sign = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (1, 1, d), dimension=2) < d // 2,
-        -1.0,
-        1.0,
-    )
-    mask = mask_ref[:]  # (BB, 1, S) int32
-    cos = cos_ref[:].astype(jnp.float32)[None]
-    sin = sin_ref[:].astype(jnp.float32)[None]
+    real TPUs).
 
-    def norm_rope(x, scale_ref):
-        x = x.astype(jnp.float32)  # (BB, S, D)
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x), axis=-1, keepdims=True) - jnp.square(mean)
-        xn = (x - mean) * jax.lax.rsqrt(var + _LN_EPS) * scale_ref[:].astype(jnp.float32)
-        rot = pltpu.roll(xn, shift=d // 2, axis=2) * sign
+    The pre-attention chain (per-head LayerNorm + rotary) runs VECTORIZED over
+    all heads in one (BB, S, H·D) pass — a per-head loop of D=64-lane VPU ops
+    measured 0.355 ms/call regardless of shape (xplane), ~5× over the memory
+    bound. Per-head segmentation uses lane tricks:
+    * segment mean/var: one (S,HD)@(HD,H) matmul against the 0/1 segment
+      matrix seg_ref, broadcast back with its transpose — no reshapes
+    * rotate_half within each D-lane segment: two global rolls of ±D/2 and a
+      lane-phase select (a global roll crosses segment boundaries exactly at
+      the lanes the phase select discards)
+    * scales and rope tables arrive pre-tiled to H·D lanes
+    Heads are looped ONLY for the two MXU dots + softmax.
+    """
+    hd = o_ref.shape[-1]
+    d = hd // num_heads
+    mask = mask_ref[:]  # (BB, 1, S) int32
+    cos = cos_ref[:].astype(jnp.float32)[None]  # (1, S, HD) pre-tiled
+    sin = sin_ref[:].astype(jnp.float32)[None]
+    seg = seg_ref[:].astype(jnp.float32)  # (HD, 2H): [:, :H] segment one-hot,
+    # [:, H:] zero-pad so the lane dim of the tiny matmul output stays ≥ 2·H
+    lane_phase = jax.lax.broadcasted_iota(jnp.int32, (1, 1, hd), dimension=2) & (d - 1)
+
+    def norm_rope(x, scale_vec):
+        x = x.astype(jnp.float32)  # (BB, S, HD)
+        sums = jax.lax.dot_general(  # (BB, S, 2H): per-head Σx, then zeros
+            x, seg, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        sqs = jax.lax.dot_general(
+            jnp.square(x), seg, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        segT = seg[:, : num_heads]  # (HD, H)
+        mean = jax.lax.dot_general(  # broadcast back: (BB, S, HD)
+            sums[:, :, : num_heads], segT,
+            (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        ) * (1.0 / d)
+        meansq = jax.lax.dot_general(
+            sqs[:, :, : num_heads], segT,
+            (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        ) * (1.0 / d)
+        var = meansq - jnp.square(mean)
+        xn = (x - mean) * jax.lax.rsqrt(var + _LN_EPS) * scale_vec
+        # rotate_half within each D-lane segment
+        fwd = pltpu.roll(xn, shift=hd - d // 2, axis=2)  # lane j ← xn[j + d/2]
+        bwd = pltpu.roll(xn, shift=d // 2, axis=2)       # lane j ← xn[j − d/2]
+        rot = jnp.where(lane_phase < d // 2, -fwd, bwd)
         return xn * cos + rot * sin
 
+    qn = norm_rope(qkv_ref[:, :, :hd], qs_ref[:].astype(jnp.float32))
+    kn = norm_rope(qkv_ref[:, :, hd : 2 * hd], ks_ref[:].astype(jnp.float32))
     for h in range(num_heads):
-        q = norm_rope(qkv_ref[:, :, h * d : (h + 1) * d], qs_ref)
-        k = norm_rope(qkv_ref[:, :, hd + h * d : hd + (h + 1) * d], ks_ref)
+        q = qn[:, :, h * d : (h + 1) * d]
+        k = kn[:, :, h * d : (h + 1) * d]
         v = qkv_ref[:, :, 2 * hd + h * d : 2 * hd + (h + 1) * d]
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
@@ -359,9 +388,19 @@ def _fused_call(qkv, q_scale, k_scale, mask, num_heads, rope_base, rope_alpha, i
             m = jnp.concatenate([m, jnp.ones((pad, 1, s), jnp.int32)], axis=0)
 
     qkv_spec = pl.BlockSpec((bb, s, three_hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    scale_spec = pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    table_spec = pl.BlockSpec((s, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    scale_spec = pl.BlockSpec((1, hd), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec((s, hd), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    seg_spec = pl.BlockSpec((hd, 2 * num_heads), lambda i: (0, 0), memory_space=pltpu.VMEM)
     mask_spec = pl.BlockSpec((bb, 1, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    # per-head params/tables pre-tiled across the H·D lane dim; 0/1 segment
+    # matrix for the in-kernel per-head mean/var (see _fused_kernel)
+    qs_tiled = jnp.tile(q_scale.reshape(1, d), (1, num_heads))
+    ks_tiled = jnp.tile(k_scale.reshape(1, d), (1, num_heads))
+    cos_t = jnp.tile(cos.astype(jnp.float32), (1, num_heads))  # (S, HD)
+    sin_t = jnp.tile(sin.astype(jnp.float32), (1, num_heads))
+    lane = jnp.arange(hd)
+    seg = jnp.zeros((hd, 2 * num_heads), jnp.float32).at[lane, lane // d].set(1.0)
 
     out = pl.pallas_call(
         functools.partial(_fused_kernel, scale=1.0 / (d**0.5), num_heads=num_heads),
@@ -373,6 +412,7 @@ def _fused_call(qkv, q_scale, k_scale, mask, num_heads, rope_base, rope_alpha, i
             scale_spec,
             table_spec,
             table_spec,
+            seg_spec,
         ],
         out_specs=pl.BlockSpec(
             (bb, s, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -380,11 +420,7 @@ def _fused_call(qkv, q_scale, k_scale, mask, num_heads, rope_base, rope_alpha, i
         out_shape=jax.ShapeDtypeStruct((b + pad, s, hd), qkv.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
-    )(
-        qkv, m,
-        q_scale.reshape(1, d), k_scale.reshape(1, d),
-        cos.astype(jnp.float32), sin.astype(jnp.float32),
-    )
+    )(qkv, m, qs_tiled, ks_tiled, cos_t, sin_t, seg)
     return out[:b]
 
 
