@@ -182,6 +182,32 @@ def test_pallas_pooled_matches_reference():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3)
 
 
+def test_pallas_cat2_matches_concat():
+    """conv3d_cf_cat2 (two-source halo DMA) ≡ conv of the channel concat."""
+    from video_vae_tpu.ops.conv3d import conv3d_cf_cat2
+
+    ks = jax.random.split(jax.random.key(6), 4)
+    x1 = jax.random.normal(ks[0], (1, 2, 16, 128, 128), jnp.float32)
+    x2 = jax.random.normal(ks[1], (1, 2, 16, 128, 128), jnp.float32)
+    kern = jax.random.normal(ks[2], (3, 3, 3, 32, 16), jnp.float32) * 0.1
+    bias = jax.random.normal(ks[3], (16,), jnp.float32) * 0.1
+    cat = jnp.concatenate([x1, x2], axis=2)
+    ref = _from_cf(_conv3d_xla_cf(cat, kern, bias))
+    out = _from_cf(conv3d_cf_cat2(x1, x2, kern, bias, "pallas", True))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3, rtol=1e-2)
+
+    def loss_cat2(x1, x2, k, b):
+        return jnp.sum(conv3d_cf_cat2(x1, x2, k, b, "xla", False) ** 2)
+
+    def loss_ref(x1, x2, k, b):
+        return jnp.sum(_conv3d_xla_cf(jnp.concatenate([x1, x2], axis=2), k, b) ** 2)
+
+    g_a = jax.jit(jax.grad(loss_cat2, argnums=(0, 1, 2, 3)))(x1, x2, kern, bias)
+    g_b = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2, 3)))(x1, x2, kern, bias)
+    for a, b in zip(g_a, g_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-2, rtol=1e-2)
+
+
 def test_group_norm_cf_matches_flax():
     from flax import nnx
 

@@ -25,7 +25,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import nnx
 
-from video_vae_tpu.ops.conv3d import conv3d_cf, conv3d_direct
+from video_vae_tpu.ops.conv3d import conv3d_cf, conv3d_cf_cat2, conv3d_direct
 from video_vae_tpu.ops.norm import group_norm_cf, max_pool_2x_cf
 from video_vae_tpu.parallel.sharding import constrain
 
@@ -109,7 +109,8 @@ class ConvTranspose2x(nnx.Module):
         wk = self.kernel.value[0][::-1, ::-1].astype(self.dtype)  # (2,2,ci,co), flipped
         return jnp.transpose(wk, (2, 0, 1, 3)).reshape(
             wk.shape[2], 4 * wk.shape[3]
-        )  # (ci, (a,b,co)) phase-major
+        )  # (ci, (a,b,co)) phase-major — a (co,a,b)-major variant A/B'd
+        # 0.8 clips/s SLOWER end-to-end; keep phase-major
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, t, h, w, cin = x.shape
@@ -170,6 +171,25 @@ class ConvBlock3D(nnx.Module):
                 silu=True,
             )
         return nnx.silu(self.norm(self.conv(x)))
+
+    def call_cat2(self, x: jnp.ndarray, skip: jnp.ndarray) -> jnp.ndarray:
+        """cf-only: conv over channel-concat [x; skip] without materializing
+        the concat (two-source halo DMA, ops/conv3d.py conv3d_cf_cat2)."""
+        c = self.conv
+        y = conv3d_cf_cat2(
+            x.astype(c.dtype),
+            skip.astype(c.dtype),
+            c.kernel.value.astype(c.dtype),
+            c.bias.value.astype(jnp.float32),
+            c.impl,
+        )
+        return group_norm_cf(
+            y,
+            self.norm.scale.value,
+            self.norm.bias.value,
+            self.norm.num_groups,
+            silu=True,
+        )
 
 
 class DownBlock3D(nnx.Module):
@@ -245,11 +265,11 @@ class UpBlock3D(nnx.Module):
     def _forward(self, x, skip):
         if self.layout == "cf":
             x = self.upsample.call_cf(x)
-            x = jnp.concatenate([x, skip], axis=2)
+            x = self.conv1.call_cat2(x, skip)
         else:
             x = self.upsample(x)
             x = jnp.concatenate([x, skip], axis=-1)
-        x = self.conv1(x)
+            x = self.conv1(x)
         x = self.conv2(x)
         return x
 

@@ -104,14 +104,18 @@ def pallas_conv_supported(x_shape, kernel_shape) -> bool:
 
 
 def _conv_kernel(
-    x_hbm, w_ref, b_ref, o_ref, *rest,
-    kt, kh, kw, th, h, w, t, frames, groups, stride, csz, pool,
+    *refs,
+    kt, kh, kw, th, h, w, t, frames, groups, stride, csz, pool, src_layout,
 ):
     """Channels-first direct conv v4: in-kernel SAME halo, K-streaming, fused pool.
 
-    x_hbm:   (b, t, cin, h·w) — the RAW activation, unpadded (v3 pre-padded
-             t/c/h host-side: a full extra HBM round trip per conv that the
-             xplane trace showed as ~25% of UNet time in 'data formatting')
+    srcs:    one or more (b, t, ci, h·w) RAW activations, unpadded (v3
+             pre-padded t/c/h host-side: a full extra HBM round trip per conv
+             that the xplane trace showed as ~25% of UNet time in 'data
+             formatting'). Multiple sources land in adjacent sublane ranges of
+             the halo window (src_layout = ((offset, len), …)) — a conv over
+             their channel concat with NO concatenated tensor in HBM (the
+             UNet's UpBlock skip concats).
     w_ref:   (m_pad, K_pad) block-banded packed weights: row f·cout+co reads
              only window-frame columns f..f+kt−1 (see _pack_weights_mf)
     o_ref:   block (1, F·cout, th·w) — F output frames per grid step, frame
@@ -138,6 +142,9 @@ def _conv_kernel(
     boundaries exactly at the columns the SAME-padding mask zeroes anyway
     (w is a power of two here, so the column id is iota&(w−1)).
     """
+    n_src = len(src_layout)
+    srcs = refs[:n_src]
+    w_ref, b_ref, o_ref, *rest = refs[n_src:]
     if pool:
         p_ref, in_buf, patches_ref, sems = rest
     else:
@@ -167,20 +174,22 @@ def _conv_kernel(
     for df in range(win):
         sf = f0 + df
         valid = jnp.logical_and(sf >= 0, sf < t)
-        if whole_frame:
-            dst = in_buf.at[df, :, pl.ds(ph * w, h * w)]
-            src = x_hbm.at[b_idx, jnp.clip(sf, 0, t - 1), :, :]
-        else:
-            dst = in_buf.at[df]
-            src = x_hbm.at[b_idx, jnp.clip(sf, 0, t - 1), :, pl.ds(rs * w, L)]
-        copy = pltpu.make_async_copy(src, dst, sems.at[df])
-        @pl.when(valid)
-        def _start(copy=copy):
-            copy.start()
+        for si, x_hbm in enumerate(srcs):
+            c_off, c_len = src_layout[si]
+            if whole_frame:
+                dst = in_buf.at[df, pl.ds(c_off, c_len), pl.ds(ph * w, h * w)]
+                src = x_hbm.at[b_idx, jnp.clip(sf, 0, t - 1), :, :]
+            else:
+                dst = in_buf.at[df, pl.ds(c_off, c_len), :]
+                src = x_hbm.at[b_idx, jnp.clip(sf, 0, t - 1), :, pl.ds(rs * w, L)]
+            copy = pltpu.make_async_copy(src, dst, sems.at[df, si])
+            @pl.when(valid)
+            def _start(copy=copy):
+                copy.start()
+            copies.append((valid, copy))
         @pl.when(jnp.logical_not(valid))
         def _zero(df=df):
             in_buf[df, :, :] = jnp.zeros((stride, L), in_buf.dtype)
-        copies.append((valid, copy))
     if whole_frame and ph:
         in_buf[:, :, : ph * w] = jnp.zeros((win, stride, ph * w), in_buf.dtype)
         in_buf[:, :, (ph + h) * w :] = jnp.zeros(
@@ -308,10 +317,18 @@ def _pack_weights_mf(kernel, bias, frames, stride, m_pad, k_pad):
 def _conv3d_pallas_cf(xq, kernel, bias, interpret=False, pool=False):
     """Pallas direct conv on channels-first input (b, t, cin, h, w) → same layout.
 
+    ``xq`` may also be a TUPLE of channels-first activations: the conv then
+    runs over their channel concatenation WITHOUT materializing it — each
+    source DMAs into its own sublane range of the halo window (the UpBlock
+    skip concats). Every source's channel count must be 8-aligned then.
+
     pool=True additionally returns the (1,2,2)-max-pooled output, computed in
     the kernel epilogue (returns a (full, pooled) tuple).
     """
-    b, t, cin, h, w = xq.shape
+    xs = xq if isinstance(xq, (tuple, list)) else (xq,)
+    b, t, _, h, w = xs[0].shape
+    cins = [x.shape[2] for x in xs]
+    cin = sum(cins)
     kt, kh, kw, _, cout = kernel.shape
     stride = _tap_stride(cin)
     frames, th = _pick_frames(t, kt, kh, kw, cout, h, w, stride)
@@ -322,13 +339,17 @@ def _conv3d_pallas_cf(xq, kernel, bias, interpret=False, pool=False):
     m_pad = max(128, (((frames * cout) + 127) // 128) * 128)
     dma_rows = th + kh - 1
 
-    # raw activation, rows flattened into the lane dim (HBM-contiguous — a
+    # raw activations, rows flattened into the lane dim (HBM-contiguous — a
     # free reshape); ALL SAME-padding happens inside the kernel via clamped
     # halo DMAs. Only non-8-aligned channel counts (the two cin=12 convs) pay
     # a pad copy — Mosaic requires 8-aligned sublane slice sizes in DMAs.
-    if cin < stride:
-        xq = jnp.pad(xq, ((0, 0), (0, 0), (0, stride - cin), (0, 0), (0, 0)))
-    xq = xq.reshape(b, t, stride, h * w)
+    if len(xs) == 1 and cin < stride:
+        xs = (jnp.pad(xs[0], ((0, 0), (0, 0), (0, stride - cin), (0, 0), (0, 0))),)
+        cins = [stride]
+    assert all(c % 8 == 0 for c in cins), "multi-source channels must be 8-aligned"
+    xs = tuple(x.reshape(b, t, c, h * w) for x, c in zip(xs, cins))
+    offs = [sum(cins[:i]) for i in range(len(cins))]
+    src_layout = tuple((o, c) for o, c in zip(offs, cins))
 
     wmat, bias_col = _pack_weights_mf(kernel, bias, frames, stride, m_pad, k_pad)
 
@@ -345,7 +366,8 @@ def _conv3d_pallas_cf(xq, kernel, bias, interpret=False, pool=False):
             memory_space=pltpu.VMEM,
         )
     ]
-    out_shapes = [jax.ShapeDtypeStruct((b * groups, frames * cout, h * w), xq.dtype)]
+    dtype = xs[0].dtype
+    out_shapes = [jax.ShapeDtypeStruct((b * groups, frames * cout, h * w), dtype)]
     if pool:
         out_specs.append(
             pl.BlockSpec(
@@ -355,27 +377,27 @@ def _conv3d_pallas_cf(xq, kernel, bias, interpret=False, pool=False):
             )
         )
         out_shapes.append(
-            jax.ShapeDtypeStruct((b * groups, frames * cout, h // 2, w), xq.dtype)
+            jax.ShapeDtypeStruct((b * groups, frames * cout, h // 2, w), dtype)
         )
     res = pl.pallas_call(
         functools.partial(
             _conv_kernel,
             kt=kt, kh=kh, kw=kw, th=th, h=h, w=w, t=t,
             frames=frames, groups=groups, stride=stride, csz=csz,
-            pool=pool,
+            pool=pool, src_layout=src_layout,
         ),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # manual halo DMA
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(xs)  # manual halo DMA
+        + [
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs if pool else out_specs[0],
         out_shape=out_shapes if pool else out_shapes[0],
         scratch_shapes=[
-            pltpu.VMEM((win, stride, dma_rows * w), xq.dtype),
-            pltpu.VMEM((csz * kh * kw * stride, th * w), xq.dtype),
-            pltpu.SemaphoreType.DMA((win,)),
+            pltpu.VMEM((win, stride, dma_rows * w), dtype),
+            pltpu.VMEM((csz * kh * kw * stride, th * w), dtype),
+            pltpu.SemaphoreType.DMA((win, len(xs))),
         ],
         compiler_params=pltpu.CompilerParams(
             # the default 16MB scoped-VMEM cap counts double-buffered in/out
@@ -383,7 +405,7 @@ def _conv3d_pallas_cf(xq, kernel, bias, interpret=False, pool=False):
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(xq, wmat, bias_col)
+    )(*xs, wmat, bias_col)
     if pool:
         full, vpooled = res  # rows already pooled in-kernel; columns here
         vpooled = vpooled.reshape(b, t, cout, h // 2, w)
@@ -773,3 +795,50 @@ def _conv3d_cf_pooled_bwd(impl, interpret, residuals, g):
 
 
 conv3d_cf_pooled.defvjp(_conv3d_cf_pooled_fwd, _conv3d_cf_pooled_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def conv3d_cf_cat2(
+    x1: jnp.ndarray,
+    x2: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray,
+    impl: str = "auto",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Stride-1 SAME conv3d over the CHANNEL CONCAT of two cf activations.
+
+    Mathematically ``conv3d_cf(concat([x1, x2], axis=2), kernel, bias)`` —
+    kernel cin = c1+c2 — but the Pallas path DMAs each source into its own
+    sublane range of the halo window, so the concatenated tensor never exists
+    in HBM (the UNet UpBlocks concat a same-shape skip before each conv1;
+    at 256² the concat write+read is ~270 MB of traffic per call).
+    """
+    b, t, c1, h, w = x1.shape
+    c2 = x2.shape[2]
+    if impl == "auto":
+        on_tpu = jax.devices()[0].platform == "tpu"
+        impl = _cf_auto_impl(
+            (b, t, c1 + c2, h, w), x1.dtype, kernel.shape, on_tpu, interpret
+        )
+    if impl == "pallas" and c1 % 8 == 0 and c2 % 8 == 0:
+        return _conv3d_pallas_cf((x1, x2), kernel, bias, interpret=interpret)
+    return conv3d_cf(
+        jnp.concatenate([x1, x2], axis=2), kernel, bias, impl, interpret
+    )
+
+
+def _conv3d_cf_cat2_fwd(x1, x2, kernel, bias, impl, interpret):
+    return conv3d_cf_cat2(x1, x2, kernel, bias, impl, interpret), (x1, x2, kernel)
+
+
+def _conv3d_cf_cat2_bwd(impl, interpret, residuals, g):
+    x1, x2, kernel = residuals
+    c1 = x1.shape[2]
+    dx, dkernel, dbias = _conv3d_cf_bwd(
+        impl, interpret, (jnp.concatenate([x1, x2], axis=2), kernel), g
+    )
+    return dx[:, :, :c1], dx[:, :, c1:], dkernel, dbias
+
+
+conv3d_cf_cat2.defvjp(_conv3d_cf_cat2_fwd, _conv3d_cf_cat2_bwd)
