@@ -63,8 +63,11 @@ class PatchEmbedding(nnx.Module):
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         p = self.patch_size
-        x = rearrange(x, "b t (h p1) (w p2) c -> b t (h w) (p1 p2 c)", p1=p, p2=p)
+        # cast BEFORE the patchify permutation: the video arrives fp32 and the
+        # 7D rearrange is bandwidth-bound — fp32 made it ~1.2 ms of copies in
+        # the trace; LayerNorm still reduces in fp32 internally.
         x = x.astype(self.dtype)
+        x = rearrange(x, "b t (h p1) (w p2) c -> b t (h w) (p1 p2 c)", p1=p, p2=p)
         return self.linear(self.norm(x))
 
 
@@ -122,6 +125,10 @@ class PatchUnEmbedding(nnx.Module):
             conv_features = rearrange(
                 x, "b t (h w) (p1 p2 c) -> b t c (h p1) (w p2)", **kw
             )
+            # (A token-side variant — contract c on (b,t,hw·p²,c_up) and
+            # un-patchify the c=3 result — A/B'd ~1.5 ms SLOWER end-to-end;
+            # XLA fuses this einsum+transpose better than it looked in the
+            # per-op trace.)
             direct = jnp.einsum(
                 "btchw,cd->bthwd",
                 conv_features,
@@ -182,7 +189,18 @@ class Attention(nnx.Module):
 
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         x = self.input_norm(x)
-        if self.attention_impl == "fused":
+        impl = self.attention_impl
+        if impl == "fused":
+            from video_vae_tpu.parallel.sharding import active_mesh, _axis_size
+
+            mesh = active_mesh()
+            if mesh is not None and _axis_size(mesh, "tensor") > 1:
+                # pallas_call is opaque to the partitioner — under a
+                # tensor-parallel mesh its operands would be silently
+                # all-gathered. The XLA chain shards correctly via the
+                # head-axis constraints below; use it.
+                impl = "xla"
+        if impl == "fused":
             # One Pallas kernel: split + per-head LN + RoPE + attention,
             # straight off the fused QKV projection (ops/flash_attention.py).
             from video_vae_tpu.ops.flash_attention import fused_qkv_attention
@@ -209,7 +227,7 @@ class Attention(nnx.Module):
         q = constrain(q, ("data", "fsdp"), None, "tensor")
         k = constrain(k, ("data", "fsdp"), None, "tensor")
         v = constrain(v, ("data", "fsdp"), None, "tensor")
-        out = masked_attention(q, k, v, mask, impl=self.attention_impl)
+        out = masked_attention(q, k, v, mask, impl=impl)
         out = rearrange(out, "b s h d -> b s (h d)")
         return self.out_projection(out)
 
