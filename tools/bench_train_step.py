@@ -42,6 +42,8 @@ def main() -> None:
     parser.add_argument("--frames", type=int, default=16)
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--no_perceptual", action="store_true")
+    parser.add_argument("--profile", metavar="DIR", default=None,
+                        help="dump an xplane trace of the timed region")
     args = parser.parse_args()
 
     cfg = ModelConfig(remat=False)
@@ -110,6 +112,13 @@ def main() -> None:
         f"[bench_train_step] flagship train step b{b}x{t}f: {per_step*1e3:.1f} ms "
         f"({b / per_step:.3f} clips/sec/chip), perceptual={not args.no_perceptual}"
     )
+    if args.profile:
+        from video_vae_tpu.utils.metrics import profile_trace
+
+        with profile_trace(args.profile):
+            _, m2, o2 = timed(k_long)
+            m_state, o_state = m2, o2
+        print(f"[bench_train_step] xplane trace → {args.profile}")
 
 
 if __name__ == "__main__":

@@ -41,9 +41,14 @@ def _tap_stride(cin: int) -> int:
     return ((cin + 7) // 8) * 8
 
 
-_PATCH_BUDGET = 6 * 1024 * 1024  # bytes of VMEM for the im2col scratch
-# (leaves room under the 16MB scoped-VMEM limit for the halo window, packed
-# weights, fp32 accumulator and per-chunk shifted copies at the worst shape)
+def _patch_budget(kh: int) -> int:
+    """im2col scratch budget. The pallas_call raises vmem_limit_bytes to 64MB,
+    so the scratch can exceed the default 16MB scoped cap. Measured on v5e:
+    3×3 convs win with 12MB (th=16 row tiles at 256² — half the grid steps of
+    th=8: 32→16@256 2.79 vs 2.93 ms), while the K-chunked 7×7 mixer LOSES with
+    bigger tiles (4.9 vs 4.0 ms — worse DMA/compute overlap at csz=1) and
+    keeps 6MB."""
+    return (6 if kh > 3 else 12) * 1024 * 1024
 
 
 def _pick_chunk(win: int, kh: int, kw: int, th: int, w: int, stride: int) -> Optional[int]:
@@ -51,8 +56,9 @@ def _pick_chunk(win: int, kh: int, kw: int, th: int, w: int, stride: int) -> Opt
     frames' taps; the matmul streams chunk by chunk into an fp32 accumulator.
     Returns the largest csz ≤ win whose scratch fits the budget (None = even
     one frame's taps don't fit)."""
+    budget = _patch_budget(kh)
     for csz in range(win, 0, -1):
-        if csz * kh * kw * stride * th * w * 2 <= _PATCH_BUDGET:
+        if csz * kh * kw * stride * th * w * 2 <= budget:
             return csz
     return None
 
