@@ -182,6 +182,35 @@ def test_pallas_pooled_matches_reference():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.parametrize("k", [(3, 3, 3), (3, 7, 7)])
+def test_pallas_wgrad_matches_xla(k):
+    """The im2col wgrad kernel vs XLA's native filter gradient (interpret)."""
+    from video_vae_tpu.ops.conv3d import (
+        _conv3d_wgrad_pallas_cf,
+        pallas_wgrad_supported,
+    )
+
+    ks = jax.random.split(jax.random.key(7), 2)
+    cin, cout = 12, 16
+    x = (jax.random.normal(ks[0], (1, 3, cin, 128, 128), jnp.float32) * 0.5).astype(jnp.bfloat16)
+    g = (jax.random.normal(ks[1], (1, 3, cout, 128, 128), jnp.float32) * 0.5).astype(jnp.bfloat16)
+    assert pallas_wgrad_supported((1, 3, 128, 128, cin), (*k, cin, cout))
+    dw = _conv3d_wgrad_pallas_cf(x, g, *k, interpret=True)
+
+    def fwd(kern):
+        return jax.lax.conv_general_dilated(
+            x.astype(jnp.float32), kern, (1, 1, 1), "SAME",
+            dimension_numbers=("NDCHW", "DHWIO", "NDCHW"),
+            preferred_element_type=jnp.float32,
+        )
+
+    _, vjp = jax.vjp(fwd, jnp.zeros((*k, cin, cout), jnp.float32))
+    (ref,) = vjp(g.astype(jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(dw), np.asarray(ref), atol=0.3, rtol=2e-2
+    )  # bf16 operands vs f32 reference; values are O(sqrt(N)·0.25)≈50
+
+
 def test_pallas_cat2_matches_concat():
     """conv3d_cf_cat2 (two-source halo DMA) ≡ conv of the channel concat."""
     from video_vae_tpu.ops.conv3d import conv3d_cf_cat2

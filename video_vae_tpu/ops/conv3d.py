@@ -521,6 +521,189 @@ def _conv3d_xla(x, kernel, bias):
     return (y + bias.astype(jnp.float32)).astype(x.dtype)
 
 
+def _wgrad_kernel(
+    x_hbm, g_ref, o_ref, in_buf, patches_ref, sems,
+    *, kt, kh, kw, th, h, w, t, stride, csz,
+):
+    """Filter gradient dW = im2col(x) @ gᵀ, accumulated across the grid.
+
+    Reuses the forward kernel's halo-DMA + flat-lane im2col structure with a
+    kt-frame window (no temporal M-packing — the output M dim is already the
+    large tap·cin axis). g arrives as a regular (1, cout, th·w) block; the
+    single (K_pad, cout) fp32 output block has a CONSTANT index map, so it
+    lives in VMEM across the whole sequential grid and accumulates in place.
+
+    Why: both the hand-rolled channel-as-batch wgrad and XLA's native conv
+    filter-gradient run ~1/200 of peak at these tiny channel counts — the
+    (3,7,7) mixer's wgrad alone was 56 ms/step (xplane, v5e).
+    """
+    i = pl.program_id(0)
+    tiles_per_frame = h // th
+    ph, pt = kh // 2, kt // 2
+    dma_rows = th + kh - 1
+    L = dma_rows * w
+    rem = i % (t * tiles_per_frame)
+    b_idx = i // (t * tiles_per_frame)
+    t_idx = rem // tiles_per_frame
+    row0 = (rem % tiles_per_frame) * th
+
+    whole_frame = dma_rows >= h
+    if whole_frame:
+        rs = 0
+    else:
+        rs = jnp.clip(row0 - ph, 0, h - dma_rows)
+
+    copies = []
+    for df in range(kt):
+        sf = t_idx - pt + df
+        valid = jnp.logical_and(sf >= 0, sf < t)
+        if whole_frame:
+            dst = in_buf.at[df, :, pl.ds(ph * w, h * w)]
+            src = x_hbm.at[b_idx, jnp.clip(sf, 0, t - 1), :, :]
+        else:
+            dst = in_buf.at[df]
+            src = x_hbm.at[b_idx, jnp.clip(sf, 0, t - 1), :, pl.ds(rs * w, L)]
+        copy = pltpu.make_async_copy(src, dst, sems.at[df])
+        @pl.when(valid)
+        def _start(copy=copy):
+            copy.start()
+        @pl.when(jnp.logical_not(valid))
+        def _zero(df=df):
+            in_buf[df, :, :] = jnp.zeros((stride, L), in_buf.dtype)
+        copies.append((valid, copy))
+    if whole_frame and ph:
+        in_buf[:, :, : ph * w] = jnp.zeros((kt, stride, ph * w), in_buf.dtype)
+        in_buf[:, :, (ph + h) * w :] = jnp.zeros(
+            (kt, stride, L - (ph + h) * w), in_buf.dtype
+        )
+    for valid, copy in copies:
+        @pl.when(valid)
+        def _wait(copy=copy):
+            copy.wait()
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (kt, stride, L), dimension=2) >> (
+        w.bit_length() - 1
+    )
+    if not whole_frame and ph:
+        @pl.when(row0 == 0)
+        def _top():
+            rolled = pltpu.roll(in_buf[:].astype(jnp.float32), shift=ph * w, axis=2)
+            in_buf[:] = jnp.where(row_ids < ph, 0.0, rolled).astype(in_buf.dtype)
+
+        @pl.when(row0 == h - th)
+        def _bottom():
+            rolled = pltpu.roll(
+                in_buf[:].astype(jnp.float32), shift=(-ph * w) % L, axis=2
+            )
+            in_buf[:] = jnp.where(row_ids >= dma_rows - ph, 0.0, rolled).astype(
+                in_buf.dtype
+            )
+
+    g = g_ref[0]  # (cout, th·w)
+    chunk_k = csz * kh * kw * stride
+    for dt0 in range(0, kt, csz):
+        ncf = min(csz, kt - dt0)
+        window = in_buf[dt0 : dt0 + ncf]
+        col_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (ncf, stride, L), dimension=2
+        ) & (w - 1)
+        shifted = {0: window}
+        for dw in range(kw):
+            shift = dw - kw // 2
+            if shift == 0:
+                continue
+            rolled = pltpu.roll(window.astype(jnp.float32), shift=(-shift) % L, axis=2)
+            if shift < 0:
+                rolled = jnp.where(col_ids < -shift, 0.0, rolled)
+            else:
+                rolled = jnp.where(col_ids >= w - shift, 0.0, rolled)
+            shifted[shift] = rolled.astype(window.dtype)
+
+        tap = 0
+        for dt in range(ncf):
+            for dh in range(kh):
+                for dw in range(kw):
+                    shift = dw - kw // 2
+                    piece = shifted[shift][dt, :, dh * w : dh * w + th * w]
+                    patches_ref[tap * stride : (tap + 1) * stride, :] = piece
+                    tap += 1
+        part = jax.lax.dot_general(  # (chunk_k, cout): contract the pixel dim
+            patches_ref[: ncf * kh * kw * stride, :], g,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        rows = slice(dt0 * kh * kw * stride, dt0 * kh * kw * stride + ncf * kh * kw * stride)
+        @pl.when(i == 0)
+        def _init(rows=rows, part=part):
+            o_ref[rows, :] = part
+        @pl.when(i > 0)
+        def _acc(rows=rows, part=part):
+            o_ref[rows, :] = o_ref[rows, :] + part
+
+
+@functools.partial(jax.jit, static_argnames=("kt", "kh", "kw", "interpret"))
+def _conv3d_wgrad_pallas_cf(x, g, kt, kh, kw, interpret=False):
+    """dW (kt,kh,kw,cin,cout) for a stride-1 SAME cf conv via the Pallas
+    im2col wgrad kernel. x: (b,t,cin,h,w); g: (b,t,cout,h,w) cotangent."""
+    b, t, cin, h, w = x.shape
+    cout = g.shape[2]
+    stride = _tap_stride(cin)
+    if cin < stride:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, stride - cin), (0, 0), (0, 0)))
+    # row tile / K-chunking over the kt window frames
+    th = _pick_tile_h(h, kt, kh, kw, w, stride)
+    csz = _pick_chunk(kt, kh, kw, th, w, stride)
+    k_pad = kt * kh * kw * stride
+    dma_rows = th + kh - 1
+    xf = x.reshape(b, t, stride, h * w)
+    gf = g.reshape(b * t, cout, h * w)
+    tiles_per_frame = h // th
+    grid = (b * t * tiles_per_frame,)
+    out = pl.pallas_call(
+        functools.partial(
+            _wgrad_kernel,
+            kt=kt, kh=kh, kw=kw, th=th, h=h, w=w, t=t, stride=stride, csz=csz,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x: manual halo DMA
+            pl.BlockSpec(
+                (1, cout, th * w),
+                lambda i: (i // tiles_per_frame, 0, i % tiles_per_frame),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (k_pad, cout), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((k_pad, cout), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((kt, stride, dma_rows * w), x.dtype),
+            pltpu.VMEM((csz * kh * kw * stride, th * w), x.dtype),
+            pltpu.SemaphoreType.DMA((kt,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+            dimension_semantics=("arbitrary",),  # sequential: o_ref accumulates
+        ),
+        interpret=interpret,
+    )(xf, gf)
+    dw = out.reshape(kt, kh, kw, stride, cout)[:, :, :, :cin, :]
+    return dw
+
+
+def pallas_wgrad_supported(x_shape, kernel_shape) -> bool:
+    b, t, h, w, cin = x_shape
+    kt, kh, kw, _, cout = kernel_shape
+    if w % 128 or h % 8 or (w & (w - 1)):
+        return False
+    if kh % 2 == 0 or kw % 2 == 0 or kt % 2 == 0:
+        return False
+    stride = _tap_stride(cin)
+    th = _pick_tile_h(h, kt, kh, kw, w, stride)
+    return th is not None and h * w >= 128 * 128
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def conv3d_direct(
     x: jnp.ndarray,
@@ -584,19 +767,18 @@ def _conv3d_bwd(impl, interpret, residuals, g):
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
-    # weight grad: treat spatial dims as the contraction. Use conv with
-    # feature dims swapped into batch (standard wgrad formulation).
-    b, t, h, w, _ = x.shape
-    pad = ((kt // 2, kt // 2), (kh // 2, kh // 2), (kw // 2, kw // 2))
-    dw_ = jax.lax.conv_general_dilated(
-        jnp.transpose(x.astype(jnp.float32), (4, 1, 2, 3, 0)),  # C as batch, B as feature
-        jnp.transpose(g, (1, 2, 3, 0, 4)),  # (t,h,w,B,cout) as DHWIO
-        window_strides=(1, 1, 1),
-        padding=pad,
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
-    )  # → (cin, kt, kh, kw, cout)
-    dkernel = jnp.transpose(dw_, (1, 2, 3, 0, 4)).astype(kernel.dtype)
+    # wgrad through XLA's NATIVE conv filter-gradient (see _conv3d_cf_bwd:
+    # hand-rolled channel-as-batch formulations run ~1/200 of peak on TPU).
+    _, vjp_k = jax.vjp(
+        lambda k: jax.lax.conv_general_dilated(
+            x.astype(jnp.float32), k, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32,
+        ),
+        kernel.astype(jnp.float32),
+    )
+    (dkernel,) = vjp_k(g)
+    dkernel = dkernel.astype(kernel.dtype)
     dbias = jnp.sum(g, axis=(0, 1, 2, 3)).astype(jnp.float32)
     return dx, dkernel, dbias
 
@@ -730,22 +912,33 @@ def _conv3d_cf_bwd(impl, interpret, residuals, g):
         "auto",
         interpret,
     )
-    g = g.astype(jnp.float32)
-    # wgrad: contraction over (b, t, h, w) with x's channel dim as the "batch"
-    # and g's channel dim as the kernel "output feature" — expressed through
-    # dimension_numbers so XLA handles any internal layout change.
-    pad = ((kt // 2, kt // 2), (kh // 2, kh // 2), (kw // 2, kw // 2))
-    dw_ = jax.lax.conv_general_dilated(
-        x.astype(jnp.float32),  # (b, t, cin, h, w)
-        g,                      # (b, t, cout, h, w)
-        window_strides=(1, 1, 1),
-        padding=pad,
-        dimension_numbers=("CDNHW", "IDOHW", "DHWNC"),
-        preferred_element_type=jnp.float32,
-    )  # lhs: b→C(feature), t→D, cin→N(batch); rhs: b→I, t→D, cout→O
-    # out spec "DHWNC" = (kt, kh, kw, cin, cout) — DHWIO directly
-    dkernel = dw_.astype(kernel.dtype)
-    dbias = jnp.sum(g, axis=(0, 1, 3, 4)).astype(jnp.float32)
+    # wgrad: the Pallas im2col wgrad kernel where supported — BOTH the
+    # hand-rolled channel-as-batch formulation and XLA's native conv
+    # filter-gradient run ~1/200 of peak at these channel counts (the (3,7,7)
+    # mixer's wgrad alone was 56 ms/step in the v5e train-step trace, both
+    # ways). Falls back to XLA's filter-gradient off the supported shapes.
+    b, t, cin_, h, w = x.shape
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if (
+        (on_tpu or interpret)
+        and x.dtype.itemsize == 2
+        and pallas_wgrad_supported((b, t, h, w, cin_), kernel.shape)
+    ):
+        dkernel = _conv3d_wgrad_pallas_cf(
+            x, g.astype(x.dtype), kt, kh, kw, interpret=interpret
+        ).astype(kernel.dtype)
+    else:
+        _, vjp_k = jax.vjp(
+            lambda k: jax.lax.conv_general_dilated(
+                x.astype(jnp.float32), k, (1, 1, 1), "SAME",
+                dimension_numbers=_CF_DIMS,
+                preferred_element_type=jnp.float32,
+            ),
+            kernel.astype(jnp.float32),
+        )
+        (dkernel,) = vjp_k(g.astype(jnp.float32))
+        dkernel = dkernel.astype(kernel.dtype)
+    dbias = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 3, 4))
     return dx, dkernel, dbias
 
 
