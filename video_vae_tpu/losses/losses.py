@@ -83,7 +83,9 @@ def vae_loss(
     mse, mae = _masked_recon_terms(video_r, out.reconstruction, output_mask, seq_len)
 
     if perceptual_fn is not None:
-        perceptual = perceptual_fn(out.reconstruction, video_r).astype(jnp.float32)
+        # pass the UN-duplicated clip: target features are extracted once and
+        # tiled across rollouts inside the loss (losses/perceptual.py)
+        perceptual = perceptual_fn(out.reconstruction, video, r).astype(jnp.float32)
     else:
         perceptual = jnp.zeros_like(mse)
 

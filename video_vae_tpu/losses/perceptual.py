@@ -16,7 +16,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
-from einops import rearrange
+from einops import rearrange, repeat
 from flax import nnx
 
 from video_vae_tpu.models.vgg import PERCEPTUAL_LAYERS, VGG16Features
@@ -36,8 +36,19 @@ def make_perceptual_loss_fn(
     if remat:
         features = jax.checkpoint(features)
 
-    def perceptual_loss(x: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-        b, t = x.shape[0], x.shape[1]
+    def perceptual_loss(
+        x: jnp.ndarray, target: jnp.ndarray, rollouts: int = 1
+    ) -> jnp.ndarray:
+        """x: (b·rollouts, t, h, w, c) reconstructions in (b r) batch order;
+        target: the UN-duplicated (b, t, h, w, c) clip.
+
+        The target IS re-featurized per rollout: a dedup variant (features
+        once, tiled) was A/B'd ~60 ms/step SLOWER — the uneven 3b·t VGG batch
+        plus the feature-tiling copies cost more than the redundant convs.
+        """
+        br, t = x.shape[0], x.shape[1]
+        if rollouts > 1:
+            target = repeat(target, "b ... -> (b r) ...", r=rollouts)
         x_flat = rearrange(x, "b t h w c -> (b t) h w c").astype(jnp.bfloat16)
         tgt_flat = rearrange(target, "b t h w c -> (b t) h w c").astype(jnp.bfloat16)
         both = jnp.concatenate([x_flat, tgt_flat], axis=0)
@@ -49,7 +60,7 @@ def make_perceptual_loss_fn(
             loss = loss + jnp.mean(
                 jnp.square(fx - ft), axis=tuple(range(1, fx.ndim))
             )
-        per_frame = rearrange(loss, "(b t) -> b t", b=b, t=t)
+        per_frame = rearrange(loss, "(b t) -> b t", b=br, t=t)
         return jnp.mean(per_frame, axis=-1)
 
     return perceptual_loss

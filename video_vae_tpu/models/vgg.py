@@ -77,6 +77,10 @@ class VGG16Features(nnx.Module):
         acts["relu1_1"] = x
         x = jax.nn.relu(self.convs["conv1_2"](x))
         acts["relu1_2"] = x
+        # reduce_window pool: a strided-slice max variant was A/B'd ~40 ms/step
+        # SLOWER here — its backward lowers to scatter-add chains far worse
+        # than select_and_scatter (unlike the UNet's inference-path pools,
+        # where slice-max wins).
         x = nnx.max_pool(x, window_shape=(2, 2), strides=(2, 2))
         x = jax.nn.relu(self.convs["conv2_1"](x))
         acts["relu2_1"] = x
