@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 
+
 # Layer plan up to relu2_1 (torchvision features indices in comments).
 _TRUNCATED_PLAN: Sequence[Tuple[str, int, int]] = (
     ("conv1_1", 3, 64),  # features.0
@@ -67,6 +68,11 @@ class VGG16Features(nnx.Module):
             )
 
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        # Plain XLA NHWC convs. Routing these through the Pallas direct kernel
+        # was A/B'd ~180 ms/step SLOWER: the channels-last wrapper transposes
+        # the ~0.5 GB frame batch around every call (fwd + remat recompute +
+        # dgrad), drowning the MXU win. XLA's ~23% MFU here is layout-bound,
+        # not fixable from the conv alone.
         x = x.astype(self.dtype)
         if self.normalize:
             mean = jnp.asarray(IMAGENET_MEAN, self.dtype)
