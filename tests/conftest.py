@@ -12,17 +12,24 @@ are seconds.
 
 import os
 
+_TPU_TESTS = os.environ.get("VVT_TPU_TESTS") == "1"
+
 # NOTE: this environment pre-sets JAX_PLATFORMS=axon (a remote-TPU tunnel
 # platform) and a sitecustomize rewrites it — plain env vars are NOT enough to
 # select the CPU backend; the jax.config.update below is what actually wins.
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-).strip()
+# VVT_TPU_TESTS=1 skips the CPU forcing so the tier-3 on-chip tests
+# (test_tpu_integration.py) can see the real device:
+#     VVT_TPU_TESTS=1 python -m pytest tests/test_tpu_integration.py -q
+if not _TPU_TESTS:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_TESTS:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

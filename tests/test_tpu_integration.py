@@ -1,12 +1,12 @@
 """On-TPU integration tests (tier 3; parity with the reference's
 claude_distributed/test_distributed.py run on real chips).
 
-These run only when a real TPU is visible WITHOUT the CPU-simulation env that
-conftest.py sets — i.e. invoke directly:
+These run only when a real TPU is visible — conftest.py forces the CPU
+simulation unless VVT_TPU_TESTS=1:
 
-    JAX_PLATFORMS='' python -m pytest tests/test_tpu_integration.py -q --override-ini addopts=''
+    VVT_TPU_TESTS=1 python -m pytest tests/test_tpu_integration.py -q
 
-Under the default suite (JAX_PLATFORMS=cpu) they are skipped.
+Under the default suite (CPU simulation) they are skipped.
 """
 
 import jax
@@ -36,6 +36,94 @@ def test_flash_attention_on_chip():
     out = jax.jit(lambda *a: flash_attention(*a))(q, k, v, mask)
     diff = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
     assert diff < 5e-3, diff
+
+
+@tpu_only
+def test_pallas_conv_suite_on_chip():
+    """Every Pallas conv entry point at a supported shape vs XLA, on-chip:
+    direct (3,3,3), the K-chunked (3,7,7) mixer, fused pool, two-source cat2,
+    and the im2col wgrad kernel."""
+    from video_vae_tpu.ops.conv3d import (
+        _conv3d_wgrad_pallas_cf,
+        _conv3d_xla_cf,
+        conv3d_cf,
+        conv3d_cf_cat2,
+        conv3d_cf_pooled,
+    )
+    from video_vae_tpu.ops.norm import max_pool_2x_cf
+
+    ks = jax.random.split(jax.random.key(1), 5)
+    x = jax.random.normal(ks[0], (1, 4, 12, 128, 128), jnp.bfloat16)
+
+    def diff(a, b):
+        return float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
+
+    # direct 3x3
+    k33 = jax.random.normal(ks[1], (3, 3, 3, 12, 16), jnp.bfloat16) * 0.1
+    b33 = jnp.zeros((16,), jnp.float32)
+    assert diff(
+        jax.jit(lambda x: conv3d_cf(x, k33, b33, "pallas"))(x),
+        jax.jit(lambda x: _conv3d_xla_cf(x, k33, b33))(x),
+    ) < 2e-2
+    # chunked 7x7 mixer
+    k77 = jax.random.normal(ks[2], (3, 7, 7, 12, 12), jnp.bfloat16) * 0.05
+    b77 = jnp.zeros((12,), jnp.float32)
+    assert diff(
+        jax.jit(lambda x: conv3d_cf(x, k77, b77, "pallas"))(x),
+        jax.jit(lambda x: _conv3d_xla_cf(x, k77, b77))(x),
+    ) < 5e-2
+    # fused pool epilogue
+    full, pooled = jax.jit(lambda x: conv3d_cf_pooled(x, k33, b33, "pallas"))(x)
+    ref_full = jax.jit(lambda x: _conv3d_xla_cf(x, k33, b33))(x)
+    assert diff(pooled, max_pool_2x_cf(ref_full)) < 2e-2
+    # two-source concat conv
+    x2 = jax.random.normal(ks[3], (1, 4, 16, 128, 128), jnp.bfloat16)
+    x1 = jax.random.normal(ks[4], (1, 4, 16, 128, 128), jnp.bfloat16)
+    kc = jax.random.normal(ks[2], (3, 3, 3, 32, 16), jnp.bfloat16) * 0.1
+    assert diff(
+        jax.jit(lambda a, b: conv3d_cf_cat2(a, b, kc, b33, "pallas"))(x1, x2),
+        jax.jit(
+            lambda a, b: _conv3d_xla_cf(jnp.concatenate([a, b], axis=2), kc, b33)
+        )(x1, x2),
+    ) < 5e-2  # K=864 bf16 contraction: a couple of ulps of ordering noise
+    # wgrad kernel vs XLA's native filter gradient
+    g = jax.random.normal(ks[1], (1, 4, 16, 128, 128), jnp.bfloat16) * 0.1
+    dw = jax.jit(lambda x, g: _conv3d_wgrad_pallas_cf(x, g, 3, 3, 3))(x, g)
+    def fwd(kern):
+        return jax.lax.conv_general_dilated(
+            x.astype(jnp.float32), kern, (1, 1, 1), "SAME",
+            dimension_numbers=("NDCHW", "DHWIO", "NDCHW"),
+            preferred_element_type=jnp.float32,
+        )
+    _, vjp = jax.vjp(fwd, jnp.zeros((3, 3, 3, 12, 16), jnp.float32))
+    (ref,) = vjp(g.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(ref), atol=0.5, rtol=3e-2)
+
+
+@tpu_only
+def test_fused_qkv_attention_on_chip():
+    from video_vae_tpu.ops.flash_attention import (
+        _reference_fused_chain,
+        fused_qkv_attention,
+    )
+    from video_vae_tpu.ops.rope import rope_tables
+
+    for b, s, h, d, with_mask in [(256, 16, 8, 64, True), (16, 256, 8, 64, False)]:
+        key = jax.random.key(0)
+        qkv = jax.random.normal(key, (b, s, 3 * h * d), jnp.bfloat16)
+        qs = jax.random.normal(jax.random.key(1), (d,), jnp.float32) * 0.3 + 1.0
+        ks_ = jax.random.normal(jax.random.key(2), (d,), jnp.float32) * 0.3 + 1.0
+        mask = None
+        if with_mask:
+            mask = jax.random.uniform(jax.random.key(3), (b, 1, 1, s)) > 0.2
+            mask = mask.at[:, :, :, 0].set(True)
+        out = jax.jit(lambda q, a, c: fused_qkv_attention(q, a, c, mask, h))(qkv, qs, ks_)
+        cos, sin = rope_tables(s, d, 10000.0, 1.0)
+        ref = jax.jit(
+            lambda q, a, c: _reference_fused_chain(q, a, c, mask, h, cos, sin)
+        )(qkv, qs, ks_)
+        diff = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
+        assert diff < 5e-2, (b, s, diff)
 
 
 @tpu_only
