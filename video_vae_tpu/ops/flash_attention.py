@@ -376,6 +376,8 @@ def _fused_call(qkv, q_scale, k_scale, mask, num_heads, rope_base, rope_alpha, i
     if not (on_tpu or interpret):
         return _reference_fused_chain(qkv, q_scale, k_scale, mask, num_heads, cos, sin)
 
+    # bb=8/64 measured best end-to-end (16/128 A/B'd at -1 clips/s: bigger
+    # tiles reduce grid parallelism without improving the VPU-bound chain)
     bb = 8 if s >= 128 else 64
     pad = (-b) % bb
     if pad:
@@ -418,7 +420,7 @@ def _fused_call(qkv, q_scale, k_scale, mask, num_heads, rope_base, rope_alpha, i
             (bb, s, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b + pad, s, hd), qkv.dtype),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(qkv, m, qs_tiled, ks_tiled, cos_t, sin_t, seg)
     return out[:b]
