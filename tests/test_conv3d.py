@@ -269,8 +269,8 @@ def test_unet_cf_matches_nhwc():
     cf = UNet3D(rngs=nnx.Rngs(0), layout="cf", **kw)
     x = jax.random.normal(jax.random.key(1), (2, 4, 16, 16, 6))
     ref = jax.jit(lambda m, x: m(x))(nhwc, x)
-    # cf takes channels-first input but returns pixels-last (see UNet3D doc)
-    out = jax.jit(lambda m, x: m(x))(cf, _to_cf(x))
+    # cf layout is channels-first in AND out (see UNet3D doc)
+    out = _from_cf(jax.jit(lambda m, x: m(x))(cf, _to_cf(x)))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-3)
 
 

@@ -135,9 +135,7 @@ def main() -> None:
         def chained(state, x, k, graphdef=graphdef, ch_axis=ch_axis, layout=layout):
             def body(v, _):
                 model = nnx.merge(graphdef, state)
-                out = model(v)
-                if layout == "cf":  # cf UNet returns pixels-last
-                    out = jnp.transpose(out, (0, 1, 4, 2, 3))
+                out = model(v)  # cf UNet is channels-first in AND out
                 idx = [slice(None)] * 5
                 idx[ch_axis] = slice(out.shape[ch_axis], None)
                 rest = v[tuple(idx)]

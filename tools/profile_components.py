@@ -104,9 +104,8 @@ def main() -> None:
     def unet_only(model, f):
         # keep a REAL data dependency (x*0 would let XLA dead-code the unet):
         # splice the 3-channel output back into the 12-channel carry, damped.
-        out = model.decoder.unet(f)  # pixels-last in BOTH layouts
+        out = model.decoder.unet(f)  # same layout as its input
         if cfg.unet_layout == "cf":
-            out = jnp.transpose(out, (0, 1, 4, 2, 3))
             rest = f[:, :, out.shape[2]:]
         else:
             rest = f[..., out.shape[-1]:]

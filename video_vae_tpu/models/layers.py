@@ -128,12 +128,13 @@ class PatchUnEmbedding(nnx.Module):
             # (A token-side variant — contract c on (b,t,hw·p²,c_up) and
             # un-patchify the c=3 result — A/B'd ~1.5 ms SLOWER end-to-end;
             # XLA fuses this einsum+transpose better than it looked in the
-            # per-op trace.)
+            # per-op trace.) Emitted CHANNELS-FIRST like the UNet output; the
+            # Decoder transposes the 3-channel sum once at its exit.
             direct = jnp.einsum(
-                "btchw,cd->bthwd",
+                "btchw,cd->btdhw",
                 conv_features,
                 self.downsample.kernel.value.astype(self.dtype),
-            ) + self.downsample.bias.value.astype(self.dtype)
+            ) + self.downsample.bias.value.astype(self.dtype)[None, None, :, None, None]
         else:
             conv_features = rearrange(
                 x, "b t (h w) (p1 p2 c) -> b t (h p1) (w p2) c", **kw

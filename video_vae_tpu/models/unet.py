@@ -282,12 +282,11 @@ class UpBlock3D(nnx.Module):
 class UNet3D(nnx.Module):
     """(b,t,h,w,c_in) → (b,t,h,w,c_out), zero-init output.
 
-    ``layout="cf"`` expects (b,t,c,h,w) INPUT — the decoder produces conv
-    features channels-first so no transpose exists anywhere in the path — and
-    still RETURNS (b,t,h,w,c_out): the final 1×1×1 conv is a plain channel
-    contraction, so emitting pixels-last there is free (an einsum output
-    layout, not a transpose pass; XLA's conv op at cout=3 cf was picking
-    pathological layouts worth ~3 ms, per the xplane trace).
+    ``layout="cf"`` expects (b,t,c,h,w) INPUT and RETURNS (b,t,c_out,h,w) —
+    features flow channels-first end-to-end with no transpose anywhere; the
+    Decoder converts the small 3-channel output to pixels-last once at its
+    exit (XLA's conv op at cout=3 was picking pathological layouts worth
+    ~3 ms either way, per the xplane trace).
     """
 
     def __init__(
@@ -366,5 +365,10 @@ class UNet3D(nnx.Module):
         if layout == "cf":
             fc = self.final_conv
             w = fc.kernel.value[0, 0, 0].astype(fc.dtype)  # (cin, cout)
-            return jnp.einsum("btchw,cd->bthwd", x.astype(fc.dtype), w) + fc.bias.value.astype(fc.dtype)
+            # emit CHANNELS-FIRST: a pixels-last (…, cout=3) output stores
+            # into 3-lane-minor tiles (~20× over bandwidth); the decoder
+            # transposes the small 3-channel result once at its exit
+            return jnp.einsum(
+                "btchw,cd->btdhw", x.astype(fc.dtype), w
+            ) + fc.bias.value.astype(fc.dtype)[None, None, :, None, None]
         return self.final_conv(x)

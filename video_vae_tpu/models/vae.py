@@ -160,8 +160,13 @@ class Decoder(nnx.Module):
         for layer in self.layers:
             x = layer(x, attn_mask)
         conv_features, direct = self.patch_unembedding(x)
-        # cf mode: features flow channels-first end-to-end; the UNet's final
-        # 1×1×1 contraction emits (b,t,h,w,c) directly (models/unet.py).
+        if self.unet.layout == "cf":
+            # features flow channels-first end-to-end; both the direct path
+            # and the UNet emit (b,t,3,h,w), and only this small 3-channel
+            # sum transposes to pixel layout (emitting pixels-last from the
+            # 12-channel contractions stored into 3-lane-minor tiles, ~2.7 ms)
+            out = direct + self.unet(conv_features)
+            return jnp.transpose(out, (0, 1, 3, 4, 2))
         return direct + self.unet(conv_features)
 
 
