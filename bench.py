@@ -43,6 +43,7 @@ REPEATS = 3
 # A/B knobs (default = shipping config)
 ATTN_IMPL = os.environ.get("VVT_ATTN_IMPL", "")
 UNET_LAYOUT = os.environ.get("VVT_UNET_LAYOUT", "")
+UNET_S2D = os.environ.get("VVT_UNET_S2D", "")
 
 
 def timed_chain(chained, state, video, mask, k):
@@ -60,6 +61,8 @@ def main() -> None:
         overrides["attention_impl"] = ATTN_IMPL
     if UNET_LAYOUT:
         overrides["unet_layout"] = UNET_LAYOUT
+    if UNET_S2D:
+        overrides["unet_s2d_last"] = UNET_S2D == "1"
     cfg = ModelConfig(remat=False, **overrides)  # flagship; no remat on inference
     # (remat is a training-memory optimization and clashes with scan-chained timing)
     graphdef, _ = nnx.split(nnx.eval_shape(lambda: VideoVAE(cfg, nnx.Rngs(0, sampling=1))))

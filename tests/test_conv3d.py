@@ -274,6 +274,22 @@ def test_unet_cf_matches_nhwc():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-3)
 
 
+def test_unet_s2d_last_matches_normal():
+    """Phase-packed top UpBlock (s2d_last) ≡ the unpacked path, same params."""
+    from flax import nnx
+
+    from video_vae_tpu.models.unet import UNet3D
+
+    kw = dict(channels=6, base_features=4, num_levels=2, out_features=3,
+              temporal_kernel=3, remat=False, dtype=jnp.float32)
+    plain = UNet3D(rngs=nnx.Rngs(0), layout="cf", **kw)
+    s2d = UNet3D(rngs=nnx.Rngs(0), layout="cf", s2d_last=True, **kw)
+    x = _to_cf(jax.random.normal(jax.random.key(1), (2, 4, 16, 16, 6)))
+    ref = jax.jit(lambda m, x: m(x))(plain, x)
+    out = jax.jit(lambda m, x: m(x))(s2d, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-3)
+
+
 def test_conv_transpose_2x_cf_matches_nhwc():
     from flax import nnx
 

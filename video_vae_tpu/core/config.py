@@ -66,6 +66,13 @@ class ModelConfig:
     # per-conv layout transposes around the Pallas direct kernel) or "nhwc".
     # Parameters/checkpoints are identical either way.
     unet_layout: str = "cf"
+    # Run the top (full-resolution) UpBlock phase-packed (space-to-depth):
+    # the transpose-conv emits packed phases (no depth-to-space transpose)
+    # and its two convs run at half spatial size with 4× channels. Identical
+    # math (tested); cf-only. A/B on v5e: 37.3 vs 38.1 clips/s — the packed
+    # 128-channel convs don't beat the unpacked 256² path, so default OFF.
+    # See models/unet.py UpBlock3D._forward_s2d.
+    unet_s2d_last: bool = False
 
     # RoPE (/root/reference/train/layers.py:85-102).
     rope_max_len: int = 8192

@@ -25,7 +25,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import nnx
 
-from video_vae_tpu.ops.conv3d import conv3d_cf, conv3d_cf_cat2, conv3d_direct
+from video_vae_tpu.ops.conv3d import (
+    _s2d_kernel,
+    conv3d_cf,
+    conv3d_cf_cat2,
+    conv3d_direct,
+    s2d_pack_cf,
+    s2d_unpack_cf,
+)
 from video_vae_tpu.ops.norm import group_norm_cf, max_pool_2x_cf
 from video_vae_tpu.parallel.sharding import constrain
 
@@ -127,6 +134,17 @@ class ConvTranspose2x(nnx.Module):
         y = jnp.transpose(y, (0, 1, 4, 5, 2, 6, 3)).reshape(b, t, cout, 2 * h, 2 * w)
         return y + self.bias.value.astype(self.dtype)[None, None, :, None, None]
 
+    def call_cf_s2d(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Emit the upsampled result STILL PHASE-PACKED: (b,t,4·cout,h,w) with
+        phase-minor channels co·4+a·2+b (the s2d packing) — no depth-to-space
+        transpose; the output is exactly ``s2d_pack_cf(call_cf(x))``, produced
+        directly as a matmul column order."""
+        wk = self.kernel.value[0][::-1, ::-1].astype(self.dtype)  # (2,2,ci,co)
+        wmat = jnp.transpose(wk, (2, 3, 0, 1)).reshape(wk.shape[2], -1)  # (ci, co·4+a·2+b)
+        y = jnp.einsum("btchw,ck->btkhw", x.astype(self.dtype), wmat)
+        bias4 = jnp.repeat(self.bias.value.astype(self.dtype), 4)
+        return y + bias4[None, None, :, None, None]
+
 
 class ConvBlock3D(nnx.Module):
     """Conv3D (t_k,k,k) SAME → GroupNorm(≤8 groups) → SiLU."""
@@ -190,6 +208,35 @@ class ConvBlock3D(nnx.Module):
             self.norm.num_groups,
             silu=True,
         )
+
+    def _s2d_params(self):
+        """s2d-transformed kernel + phase-repeated bias/GN params: in phase-
+        packed space (channels c·4+phase) the SAME conv is the _s2d_kernel
+        conv, GroupNorm groups stay contiguous (c-major packing) and contain
+        the identical elements, and per-channel affine params repeat ×4."""
+        c = self.conv
+        ks = _s2d_kernel(c.kernel.value.astype(c.dtype))
+        bias4 = jnp.repeat(c.bias.value.astype(jnp.float32), 4)
+        scale4 = jnp.repeat(self.norm.scale.value, 4)
+        gbias4 = jnp.repeat(self.norm.bias.value, 4)
+        return ks, bias4, scale4, gbias4
+
+    def call_s2d(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Forward entirely in phase-packed (s2d) space: (b,t,4cin,h/2,w/2) →
+        (b,t,4cout,h/2,w/2). Exact same math as the unpacked block."""
+        ks, bias4, scale4, gbias4 = self._s2d_params()
+        y = conv3d_cf(x.astype(self.conv.dtype), ks, bias4, self.conv.impl)
+        return group_norm_cf(y, scale4, gbias4, self.norm.num_groups, silu=True)
+
+    def call_s2d_cat2(self, x: jnp.ndarray, skip: jnp.ndarray) -> jnp.ndarray:
+        """Phase-packed two-source variant: channel concat [x; skip] in packed
+        space matches the packed concat (both blocks are c-major)."""
+        ks, bias4, scale4, gbias4 = self._s2d_params()
+        y = conv3d_cf_cat2(
+            x.astype(self.conv.dtype), skip.astype(self.conv.dtype),
+            ks, bias4, self.conv.impl,
+        )
+        return group_norm_cf(y, scale4, gbias4, self.norm.num_groups, silu=True)
 
 
 class DownBlock3D(nnx.Module):
@@ -273,10 +320,23 @@ class UpBlock3D(nnx.Module):
         x = self.conv2(x)
         return x
 
-    def __call__(self, x: jnp.ndarray, skip: jnp.ndarray) -> jnp.ndarray:
+    def _forward_s2d(self, x, skip):
+        """cf-only: run the whole block PHASE-PACKED — the transpose-conv
+        emits packed phases directly (no depth-to-space transpose), the skip
+        packs once, and both convs run at half spatial size with 4× channels
+        (much better MXU shapes at the UNet's top level). Returns the packed
+        (b,t,4·cout,h/2,w/2) tensor; the caller unpacks after the (cheap)
+        final 1×1 contraction. Identical math to _forward."""
+        up = self.upsample.call_cf_s2d(x)
+        skip_p = s2d_pack_cf(skip)
+        y = self.conv1.call_s2d_cat2(up, skip_p)
+        return self.conv2.call_s2d(y)
+
+    def __call__(self, x: jnp.ndarray, skip: jnp.ndarray, *, s2d: bool = False) -> jnp.ndarray:
+        fwd = UpBlock3D._forward_s2d if s2d else UpBlock3D._forward
         if self.use_remat:
-            return nnx.remat(UpBlock3D._forward)(self, x, skip)
-        return self._forward(x, skip)
+            return nnx.remat(fwd)(self, x, skip)
+        return fwd(self, x, skip)
 
 
 class UNet3D(nnx.Module):
@@ -300,12 +360,14 @@ class UNet3D(nnx.Module):
         temporal_kernel: int = 3,
         remat: bool = True,
         layout: str = "nhwc",
+        s2d_last: bool = False,
         dtype=jnp.bfloat16,
         param_dtype=jnp.float32,
     ):
         assert layout in ("nhwc", "cf")
         self.dtype = dtype
         self.layout = layout
+        self.s2d_last = s2d_last and layout == "cf"
         kw = dict(
             temporal_kernel=temporal_kernel, remat=remat, layout=layout,
             dtype=dtype, param_dtype=param_dtype,
@@ -360,11 +422,30 @@ class UNet3D(nnx.Module):
             skips.append(skip)
         x = self.bottleneck1(x)
         x = self.bottleneck2(x)
-        for decoder, skip in zip(self.decoders, reversed(skips)):
-            x = decoder(x, skip)
+        n_dec = len(self.decoders)
+        packed = False
+        for i, (decoder, skip) in enumerate(zip(self.decoders, reversed(skips))):
+            use_s2d = (
+                self.s2d_last
+                and i == n_dec - 1
+                and skip.shape[-1] % 2 == 0
+                and skip.shape[-2] % 2 == 0
+            )
+            x = decoder(x, skip, s2d=use_s2d) if layout == "cf" else decoder(x, skip)
+            packed = use_s2d
         if layout == "cf":
             fc = self.final_conv
             w = fc.kernel.value[0, 0, 0].astype(fc.dtype)  # (cin, cout)
+            if packed:
+                # 1×1×1 contraction stays phase-packed (kron with I₄ keeps
+                # each phase independent), then ONE cheap unpack of the small
+                # 3-channel result
+                w4 = jnp.kron(w, jnp.eye(4, dtype=fc.dtype))  # (4cin, 4cout)
+                y = jnp.einsum("btchw,cd->btdhw", x.astype(fc.dtype), w4)
+                y = y + jnp.repeat(fc.bias.value.astype(fc.dtype), 4)[
+                    None, None, :, None, None
+                ]
+                return s2d_unpack_cf(y)
             # emit CHANNELS-FIRST: a pixels-last (…, cout=3) output stores
             # into 3-lane-minor tiles (~20× over bandwidth); the decoder
             # transposes the small 3-channel result once at its exit

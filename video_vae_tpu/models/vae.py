@@ -151,6 +151,7 @@ class Decoder(nnx.Module):
             temporal_kernel=cfg.temporal_kernel,
             remat=cfg.remat,
             layout=cfg.unet_layout,
+            s2d_last=cfg.unet_s2d_last,
             dtype=dtype,
             param_dtype=pdtype,
         )

@@ -808,6 +808,22 @@ def _conv3d_xla_cf(x, kernel, bias):
     return (y + bias.astype(jnp.float32)[None, None, :, None, None]).astype(x.dtype)
 
 
+def s2d_pack_cf(x: jnp.ndarray) -> jnp.ndarray:
+    """(b,t,c,h,w) → (b,t,4c,h/2,w/2) with phase-minor channels c·4+a·2+b
+    (the _s2d_kernel convention)."""
+    b, t, c, h, w = x.shape
+    xs = x.reshape(b, t, c, h // 2, 2, w // 2, 2)
+    return jnp.transpose(xs, (0, 1, 2, 4, 6, 3, 5)).reshape(b, t, c * 4, h // 2, w // 2)
+
+
+def s2d_unpack_cf(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`s2d_pack_cf`."""
+    b, t, c4, hh, ww = x.shape
+    c = c4 // 4
+    y = x.reshape(b, t, c, 2, 2, hh, ww)
+    return jnp.transpose(y, (0, 1, 2, 5, 3, 6, 4)).reshape(b, t, c, 2 * hh, 2 * ww)
+
+
 def conv3d_s2d_cf(x, kernel, bias):
     """Space-to-depth (factor 2) conv, channels-first. Same math as conv3d_s2d."""
     b, t, c, h, w = x.shape
