@@ -18,10 +18,12 @@ K = 324 for a (3,3,3)@cin12 conv vs XLA's per-tap effective K≈cin, so the MXU
 does ~27× more useful contraction per pass, and HBM sees the input ~kt times
 instead of kt·kh·kw times.
 
-Stride 1, SAME padding, NDHWC (the only conv shape the UNet/discriminator use;
-/root/reference/train/unet.py:13-21). Bias fused. Backward falls back to XLA
-(conv gradients are expressed with XLA convs via custom_vjp). Off-TPU the
-whole op falls back to XLA.
+Stride 1, SAME padding, NDHWC + channels-first entry points (the only conv
+shapes the UNet/discriminator use; /root/reference/train/unet.py:13-21). Bias
+fused. The cf backward is Pallas too at supported shapes: dx re-enters this
+dispatch (flipped, IO-swapped kernel) and dW runs the im2col wgrad kernel
+(_wgrad_kernel) — both XLA formulations of the filter gradient measured
+~1/200 of peak at these channel counts. Off-TPU everything falls back to XLA.
 """
 
 from __future__ import annotations
