@@ -42,11 +42,14 @@ def main() -> None:
     parser.add_argument("--frames", type=int, default=16)
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--no_perceptual", action="store_true")
+    parser.add_argument("--remat", action="store_true",
+                        help="config-gated per-block remat (what long-clip "
+                        "curriculum training pays for memory)")
     parser.add_argument("--profile", metavar="DIR", default=None,
                         help="dump an xplane trace of the timed region")
     args = parser.parse_args()
 
-    cfg = ModelConfig(remat=False)
+    cfg = ModelConfig(remat=args.remat)
     loss_cfg = LossConfig(use_perceptual=not args.no_perceptual)
     perceptual_fn = build_perceptual(loss_cfg)
     tx = make_tx(OptimConfig())
@@ -110,7 +113,8 @@ def main() -> None:
     per_step = min(slopes)
     print(
         f"[bench_train_step] flagship train step b{b}x{t}f: {per_step*1e3:.1f} ms "
-        f"({b / per_step:.3f} clips/sec/chip), perceptual={not args.no_perceptual}"
+        f"({b / per_step:.3f} clips/sec/chip), perceptual={not args.no_perceptual}, "
+        f"remat={args.remat}"
     )
     if args.profile:
         from video_vae_tpu.utils.metrics import profile_trace
