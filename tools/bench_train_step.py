@@ -44,7 +44,10 @@ def main() -> None:
     parser.add_argument("--no_perceptual", action="store_true")
     parser.add_argument("--remat", action="store_true",
                         help="config-gated per-block remat (what long-clip "
-                        "curriculum training pays for memory)")
+                        "curriculum training pays for memory). WARNING: the "
+                        "remat graph inside this tool's scan-chained timing "
+                        "loop did not finish compiling in 50 min on v5e — "
+                        "measure remat steps through the Trainer instead")
     parser.add_argument("--profile", metavar="DIR", default=None,
                         help="dump an xplane trace of the timed region")
     args = parser.parse_args()
