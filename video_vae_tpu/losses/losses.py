@@ -32,7 +32,8 @@ from video_vae_tpu.models.vae import VAEOutput
 
 LossMetrics = Dict[str, jnp.ndarray]
 
-PerceptualFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]  # (x, target) -> (B,)
+# (reconstruction at B=b·r, un-duplicated target at b, rollouts) -> (B,)
+PerceptualFn = Callable[[jnp.ndarray, jnp.ndarray, int], jnp.ndarray]
 
 
 def per_sample_mean(x: jnp.ndarray) -> jnp.ndarray:
@@ -83,8 +84,9 @@ def vae_loss(
     mse, mae = _masked_recon_terms(video_r, out.reconstruction, output_mask, seq_len)
 
     if perceptual_fn is not None:
-        # pass the UN-duplicated clip: target features are extracted once and
-        # tiled across rollouts inside the loss (losses/perceptual.py)
+        # pass the UN-duplicated clip; perceptual_loss tiles it across rollouts
+        # and re-featurizes the tiled target (the extract-once dedup variant was
+        # A/B'd slower on-chip and reverted — see losses/perceptual.py)
         perceptual = perceptual_fn(out.reconstruction, video, r).astype(jnp.float32)
     else:
         perceptual = jnp.zeros_like(mse)

@@ -93,18 +93,36 @@ def import_reference_state(model: nnx.Module, ref_model_state) -> int:
     }
     copied = 0
     missing = []
+    touched = set()
     for path, value in ref_flat.items():
         if path not in ours_flat:
             missing.append(path)
             continue
         var = ours_flat[path]
-        assert tuple(var.value.shape) == tuple(value.shape), (
-            path, var.value.shape, value.shape
-        )
+        if tuple(var.value.shape) != tuple(value.shape):
+            raise ValueError(
+                f"shape mismatch at {'/'.join(path)}: "
+                f"ours {tuple(var.value.shape)} vs reference {tuple(value.shape)}"
+            )
         var.value = jnp.asarray(value, var.value.dtype)
+        touched.add(path)
         copied += 1
     if missing:
         raise KeyError(f"reference params with no counterpart: {missing[:5]}")
+    # Our params the copy loop never wrote would silently keep their random
+    # init — a migration user must hear about that. RNG state is legitimately
+    # ours-only; everything else is an error.
+    untouched = [
+        p for p, var in ours_flat.items()
+        if p not in touched
+        and getattr(var, "value", None) is not None
+        and not any("rng" in seg.lower() for seg in p)
+    ]
+    if untouched:
+        raise ValueError(
+            f"{len(untouched)} of our params were not present in the reference "
+            f"checkpoint (would keep random init): {untouched[:5]}"
+        )
     nnx.update(model, state)
     return copied
 

@@ -162,21 +162,35 @@ class Trainer:
             print(f"[trainer] profile trace written to {t.profile_dir}")
 
     def _upload_artifact(self, path: str) -> None:
-        """Mirror an artifact to GCS (best-effort, proc 0, non-blocking)."""
+        """Mirror an artifact to GCS (best-effort, proc 0, non-blocking).
+
+        Failures are logged from a watcher thread rather than swallowed, so a
+        misconfigured bucket shows up in the training log instead of as a
+        silently-missing upload.
+        """
         prefix = self.cfg.train.gcs_upload_prefix
         if not prefix or jax.process_index() != 0:
             return
         import shutil as _shutil
         import subprocess as _subprocess
+        import threading as _threading
 
         if not _shutil.which("gcloud"):
             return
         try:
-            _subprocess.Popen(
+            proc = _subprocess.Popen(
                 ["gcloud", "storage", "cp", "-r", path, prefix.rstrip("/") + "/"],
                 stdout=_subprocess.DEVNULL,
-                stderr=_subprocess.DEVNULL,
+                stderr=_subprocess.PIPE,
             )
+
+            def _watch(p=proc, src=path):
+                _, err = p.communicate()
+                if p.returncode != 0:
+                    msg = (err or b"").decode(errors="replace").strip()[-500:]
+                    print(f"[trainer] GCS upload of {src} failed (rc={p.returncode}): {msg}")
+
+            _threading.Thread(target=_watch, daemon=True).start()
         except Exception as e:  # uploads must never kill training
             print(f"[trainer] GCS upload failed: {e}")
 
@@ -247,6 +261,9 @@ class Trainer:
                 and self.global_step % cfg.train.checkpoint_every_steps == 0
             ):
                 self.ckpt.save(self.global_step, self.model, self.optimizer)
+                # The manager saves asynchronously: block until the step dir is
+                # finalized before mirroring it, or gcloud copies a tmp dir.
+                self.ckpt.wait()
                 self._upload_artifact(self.ckpt.step_dir(self.global_step))
             if self.shutdown.should_stop:
                 self.ckpt.save(self.global_step, self.model, self.optimizer)
