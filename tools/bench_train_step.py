@@ -114,11 +114,23 @@ def main() -> None:
         m_state, o_state = m2, o2
         slopes.append((t2 - t1) / (k_long - k_short))
     per_step = min(slopes)
-    print(
+    msg = (
         f"[bench_train_step] flagship train step b{b}x{t}f: {per_step*1e3:.1f} ms "
         f"({b / per_step:.3f} clips/sec/chip), perceptual={not args.no_perceptual}, "
         f"remat={args.remat}"
     )
+    # reference denominator: tools/measure_reference.py --train-only
+    import json
+
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BASELINE_MEASURED.json",
+    )
+    if os.path.exists(baseline_path) and b == 1 and t == 16 and not args.remat:
+        ref_ms = json.load(open(baseline_path)).get("train_step", {}).get("ms_per_step")
+        if ref_ms:
+            msg += f" | reference {ref_ms:.0f} ms → {ref_ms / (per_step*1e3):.2f}x"
+    print(msg)
     if args.profile:
         from video_vae_tpu.utils.metrics import profile_trace
 
