@@ -318,3 +318,24 @@ def test_conv_transpose_2x_matches_flax():
     np.testing.assert_allclose(
         np.asarray(ours(x)), np.asarray(ref(x)), atol=1e-5, rtol=1e-5
     )
+
+
+def test_unet_s2d_full_matches_normal():
+    """Whole-level phase packing (s2d_full) ≡ the unpacked path, same params.
+
+    The s2d_full UNet takes PACKED input and returns PACKED output (the
+    Decoder owns the single unpack); pack/unpack here with the tested
+    s2d helpers so the comparison isolates the conv/pool/skip math."""
+    from flax import nnx
+
+    from video_vae_tpu.models.unet import UNet3D
+    from video_vae_tpu.ops.conv3d import s2d_pack_cf, s2d_unpack_cf
+
+    kw = dict(channels=6, base_features=4, num_levels=2, out_features=3,
+              temporal_kernel=3, remat=False, dtype=jnp.float32)
+    plain = UNet3D(rngs=nnx.Rngs(0), layout="cf", **kw)
+    packed = UNet3D(rngs=nnx.Rngs(0), layout="cf", s2d_full=True, **kw)
+    x = _to_cf(jax.random.normal(jax.random.key(1), (2, 4, 16, 16, 6)))
+    ref = jax.jit(lambda m, x: m(x))(plain, x)
+    out = s2d_unpack_cf(jax.jit(lambda m, x: m(x))(packed, s2d_pack_cf(x)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-3)

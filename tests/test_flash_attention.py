@@ -130,3 +130,31 @@ def test_flash_batch_padding():
     )
     assert out.shape == ref.shape
     assert float(jnp.max(jnp.abs(out - ref))) < 2e-3
+
+
+def test_fused_bwd_pallas_matches_xla_chain(monkeypatch):
+    """The fused Pallas backward kernel (VVT_FUSED_BWD=pallas, the default)
+    must match the XLA-chain backward (VVT_FUSED_BWD=xla) it replaces —
+    nonuniform scales + padding mask + a batch that needs block padding."""
+    from video_vae_tpu.ops.flash_attention import fused_qkv_attention
+
+    B, S, H, D = 3, 16, 2, 64
+    ks = jax.random.split(jax.random.key(9), 3)
+    qkv = jax.random.normal(ks[0], (B, S, 3 * H * D), jnp.float32)
+    q_scale = 1.0 + 0.2 * jax.random.normal(ks[1], (D,), jnp.float32)
+    k_scale = 1.0 + 0.2 * jax.random.normal(ks[2], (D,), jnp.float32)
+    mask = jnp.zeros((B, 1, 1, S), bool).at[..., : S - 3].set(True)
+
+    def loss(qkv, qs, kscale):
+        out = fused_qkv_attention(qkv, qs, kscale, mask, H, 10000.0, 1.0, True)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    grad_fn = jax.grad(loss, argnums=(0, 1, 2))
+    monkeypatch.setenv("VVT_FUSED_BWD", "pallas")
+    g_pallas = jax.jit(grad_fn)(qkv, q_scale, k_scale)
+    monkeypatch.setenv("VVT_FUSED_BWD", "xla")
+    # new jit trace (env is read at trace time) — different lambda identity
+    g_xla = jax.jit(lambda a, b, c: grad_fn(a, b, c))(qkv, q_scale, k_scale)
+    for a, b in zip(g_pallas, g_xla):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-6
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 5e-3

@@ -97,3 +97,27 @@ def test_encode_decode_roundtrip_api(tiny_model, cfg, batch):
     assert logvar.shape == mean.shape
     assert prob.shape == (*mask.shape, 1)
     assert jnp.all(jnp.isfinite(recon.astype(jnp.float32)))
+
+
+def test_decoder_s2d_full_matches_plain(cfg, batch):
+    """unet_s2d_full wires packed emission (PatchUnEmbedding), the packed
+    UNet, and the fused unpack+channels-last exit — the reconstruction must
+    match the plain cf path bit-for-bit up to fp32 tolerance."""
+    from video_vae_tpu.models.vae import VideoVAE
+
+    video, mask = batch
+    base = cfg.model.replace(dtype="float32", remat=False)
+    plain = VideoVAE(base, nnx.Rngs(0, sampling=1))
+    packed = VideoVAE(base.replace(unet_s2d_full=True), nnx.Rngs(0, sampling=1))
+
+    @jax.jit
+    def run(m, video, mask):
+        mean, logvar, prob = m.encode(video, mask)
+        return m.decode(mean, mask)
+
+    ref = run(plain, video, mask)
+    out = run(packed, video, mask)
+    assert out.shape == ref.shape
+    import numpy as np
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-3)

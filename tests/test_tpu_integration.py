@@ -145,3 +145,43 @@ def test_train_step_on_chip():
     ]
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+@tpu_only
+def test_fused_attention_bwd_on_chip():
+    """Tier-3: the fused Pallas backward kernel vs jax.vjp over the reference
+    chain, at both factored shapes (VERDICT r2 next #5)."""
+    import numpy as np
+
+    from video_vae_tpu.ops.flash_attention import (
+        _reference_fused_chain,
+        fused_qkv_attention,
+    )
+    from video_vae_tpu.ops.rope import rope_tables
+
+    for b, s, h, d in [(256, 16, 8, 64), (16, 256, 8, 64)]:
+        qkv = jax.random.normal(jax.random.key(0), (b, s, 3 * h * d), jnp.bfloat16)
+        qs = jax.random.normal(jax.random.key(1), (d,), jnp.float32) * 0.3 + 1.0
+        ks_ = jax.random.normal(jax.random.key(2), (d,), jnp.float32) * 0.3 + 1.0
+        mask = jax.random.uniform(jax.random.key(3), (b, 1, 1, s)) > 0.2
+        mask = mask.at[:, :, :, 0].set(True)
+
+        def loss_fused(q, a, c):
+            return jnp.sum(
+                fused_qkv_attention(q, a, c, mask, h).astype(jnp.float32) ** 2
+            )
+
+        cos, sin = rope_tables(s, d, 10000.0, 1.0)
+
+        def loss_ref(q, a, c):
+            return jnp.sum(
+                _reference_fused_chain(q, a, c, mask, h, cos, sin).astype(jnp.float32)
+                ** 2
+            )
+
+        gf = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2)))(qkv, qs, ks_)
+        gr = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(qkv, qs, ks_)
+        for a, r in zip(gf, gr):
+            scale = float(jnp.max(jnp.abs(r)).astype(jnp.float32)) + 1e-6
+            rel = float(jnp.max(jnp.abs(a.astype(jnp.float32) - r.astype(jnp.float32)))) / scale
+            assert rel < 5e-2, (b, s, rel)

@@ -73,6 +73,16 @@ class ModelConfig:
     # 128-channel convs don't beat the unpacked 256² path, so default OFF.
     # See models/unet.py UpBlock3D._forward_s2d.
     unet_s2d_last: bool = False
+    # Stay in phase-packed (space-to-depth) space through the WHOLE
+    # full-resolution UNet level: the unpatchify emits packed features
+    # directly (no 256² depth-to-space), the 7×7 patch-mixer and the level-0
+    # DownBlock convs run at half spatial size with 4× channels (MXU-friendly
+    # widths), the level-0 max-pool becomes a 4-way phase max (no 256²
+    # reduce-window), the top UpBlock consumes the already-packed skip, and
+    # the decoder exit fuses unpack+channels-last into ONE permutation of the
+    # small 3-channel result. Identical math (tested); cf-only. Supersedes
+    # unet_s2d_last (which packs only the top UpBlock and pays a skip pack).
+    unet_s2d_full: bool = False
 
     # RoPE (/root/reference/train/layers.py:85-102).
     rope_max_len: int = 8192

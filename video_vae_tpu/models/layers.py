@@ -89,6 +89,7 @@ class PatchUnEmbedding(nnx.Module):
         rngs: nnx.Rngs,
         *,
         conv_layout: str = "nhwc",
+        pack_s2d: bool = False,
         dtype=jnp.bfloat16,
         param_dtype=jnp.float32,
     ):
@@ -98,6 +99,10 @@ class PatchUnEmbedding(nnx.Module):
         self.width = width
         self.upsample_rate = upsample_rate
         self.conv_layout = conv_layout
+        # emit conv_features PHASE-PACKED (b,t,4c,h/2,w/2) for the s2d_full
+        # UNet — the 2×2 pixel phases stay in the channel dim instead of
+        # being interleaved out here and re-packed inside the UNet.
+        self.pack_s2d = pack_s2d and conv_layout == "cf" and patch_size % 2 == 0
         self.dtype = dtype
         self.linear = nnx.Linear(dim, dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
         self.upsample = nnx.Linear(
@@ -116,7 +121,28 @@ class PatchUnEmbedding(nnx.Module):
             h=self.height // self.patch_size,
             w=self.width // self.patch_size,
         )
-        if self.conv_layout == "cf":
+        if self.pack_s2d:
+            # Emit PHASE-PACKED channels-first features (b,t,4c,H/2,W/2),
+            # channel index c·4+pa·2+pb (ops/conv3d._s2d_kernel convention):
+            # token patch offset p1 = q1·2+pa, p2 = q2·2+pb. The UNet's
+            # s2d_full path consumes this directly — the full-resolution
+            # depth-to-space never happens.
+            p = self.patch_size
+            conv_features = rearrange(
+                x,
+                "b t (h w) (q1 pa q2 pb c) -> b t (c pa pb) (h q1) (w q2)",
+                h=kw["h"], w=kw["w"], q1=p // 2, pa=2, q2=p // 2, pb=2,
+            )
+            # packed (c_up → c) contraction: kron with I₄ keeps each phase
+            # independent, so `direct` comes out packed like the UNet output.
+            w4 = jnp.kron(
+                self.downsample.kernel.value.astype(self.dtype),
+                jnp.eye(4, dtype=self.dtype),
+            )  # (4c_up, 4c)
+            direct = jnp.einsum("btchw,cd->btdhw", conv_features, w4) + jnp.repeat(
+                self.downsample.bias.value.astype(self.dtype), 4
+            )[None, None, :, None, None]
+        elif self.conv_layout == "cf":
             # Emit channels-first features directly — the UNet's cf path then
             # has zero layout transposes anywhere. The direct reconstruction
             # applies the (c_up → c) Linear params over the cf channel axis.

@@ -83,6 +83,18 @@ class Conv3D(nnx.Module):
             self.impl,
         )
 
+    def call_cf_s2d(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Phase-packed forward: (b,t,4cin,h/2,w/2) → (b,t,4cout,h/2,w/2).
+
+        Exact same math as call_cf on the unpacked tensor (the s2d kernel
+        transform is a pure index rearrangement); a (3,7,7) kernel becomes
+        (3,5,5) in block space, so even the patch-mixer stays odd/SAME and
+        eligible for the Pallas direct kernel at 4× the channel width.
+        """
+        ks = _s2d_kernel(self.kernel.value.astype(self.dtype))
+        bias4 = jnp.repeat(self.bias.value.astype(jnp.float32), 4)
+        return conv3d_cf(x.astype(self.dtype), ks, bias4, self.impl)
+
 
 class ConvTranspose2x(nnx.Module):
     """Spatial 2× transpose conv with kernel=strides=(1,2,2), as one matmul.
@@ -239,6 +251,17 @@ class ConvBlock3D(nnx.Module):
         return group_norm_cf(y, scale4, gbias4, self.norm.num_groups, silu=True)
 
 
+def phase_max_pool_cf(x: jnp.ndarray) -> jnp.ndarray:
+    """(1,2,2) max pool of a PHASE-PACKED cf tensor.
+
+    The pool's non-overlapping 2×2 windows are exactly the 4 phases of each
+    channel (c-major packing), so the full-resolution reduce-window becomes an
+    elementwise max over 4 channel slices at half size — and the result is
+    already the UNPACKED pooled tensor (b,t,c,h/2,w/2)."""
+    b, t, c4, h, w = x.shape
+    return jnp.max(x.reshape(b, t, c4 // 4, 4, h, w), axis=3)
+
+
 class DownBlock3D(nnx.Module):
     """2×ConvBlock3D, returns (spatially pooled, pre-pool skip)."""
 
@@ -273,10 +296,20 @@ class DownBlock3D(nnx.Module):
             x = nnx.max_pool(x, window_shape=(1, 2, 2), strides=(1, 2, 2))
         return x, skip
 
-    def __call__(self, x: jnp.ndarray):
+    def _forward_s2d(self, x):
+        """cf-only: both convs run PHASE-PACKED at half spatial size with 4×
+        channels; the skip stays packed (consumed packed by the matching
+        UpBlock), and the pool degenerates to a 4-way phase max whose result
+        is the unpacked half-resolution tensor the next level expects."""
+        x = self.conv1.call_s2d(x)
+        x = self.conv2.call_s2d(x)
+        return phase_max_pool_cf(x), x
+
+    def __call__(self, x: jnp.ndarray, *, s2d: bool = False):
+        fwd = DownBlock3D._forward_s2d if s2d else DownBlock3D._forward
         if self.use_remat:
-            return nnx.remat(DownBlock3D._forward)(self, x)
-        return self._forward(x)
+            return nnx.remat(fwd)(self, x)
+        return fwd(self, x)
 
 
 class UpBlock3D(nnx.Module):
@@ -320,19 +353,29 @@ class UpBlock3D(nnx.Module):
         x = self.conv2(x)
         return x
 
-    def _forward_s2d(self, x, skip):
+    def _forward_s2d(self, x, skip_p):
         """cf-only: run the whole block PHASE-PACKED — the transpose-conv
-        emits packed phases directly (no depth-to-space transpose), the skip
-        packs once, and both convs run at half spatial size with 4× channels
-        (much better MXU shapes at the UNet's top level). Returns the packed
-        (b,t,4·cout,h/2,w/2) tensor; the caller unpacks after the (cheap)
-        final 1×1 contraction. Identical math to _forward."""
+        emits packed phases directly (no depth-to-space transpose) and both
+        convs run at half spatial size with 4× channels (much better MXU
+        shapes at the UNet's top level). ``skip_p`` arrives ALREADY PACKED
+        (either packed here by the caller, or produced packed by a
+        DownBlock3D s2d level). Returns the packed (b,t,4·cout,h/2,w/2)
+        tensor; the caller unpacks after the (cheap) final 1×1 contraction.
+        Identical math to _forward."""
         up = self.upsample.call_cf_s2d(x)
-        skip_p = s2d_pack_cf(skip)
         y = self.conv1.call_s2d_cat2(up, skip_p)
         return self.conv2.call_s2d(y)
 
-    def __call__(self, x: jnp.ndarray, skip: jnp.ndarray, *, s2d: bool = False) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        skip: jnp.ndarray,
+        *,
+        s2d: bool = False,
+        skip_packed: bool = False,
+    ) -> jnp.ndarray:
+        if s2d and not skip_packed:
+            skip = s2d_pack_cf(skip)
         fwd = UpBlock3D._forward_s2d if s2d else UpBlock3D._forward
         if self.use_remat:
             return nnx.remat(fwd)(self, x, skip)
@@ -361,13 +404,15 @@ class UNet3D(nnx.Module):
         remat: bool = True,
         layout: str = "nhwc",
         s2d_last: bool = False,
+        s2d_full: bool = False,
         dtype=jnp.bfloat16,
         param_dtype=jnp.float32,
     ):
         assert layout in ("nhwc", "cf")
         self.dtype = dtype
         self.layout = layout
-        self.s2d_last = s2d_last and layout == "cf"
+        self.s2d_full = s2d_full and layout == "cf"
+        self.s2d_last = (s2d_last and layout == "cf") or self.s2d_full
         kw = dict(
             temporal_kernel=temporal_kernel, remat=remat, layout=layout,
             dtype=dtype, param_dtype=param_dtype,
@@ -409,43 +454,66 @@ class UNet3D(nnx.Module):
         )
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """``s2d_full`` changes the I/O contract: the input must arrive
+        PHASE-PACKED (b,t,4·cin,h/2,w/2) and the output is returned packed
+        (b,t,4·out,h/2,w/2) — the Decoder fuses the single unpack into its
+        exit permutation. All other configurations keep (b,t,c,h,w) I/O."""
         layout = self.layout
         x = x.astype(self.dtype)
         x = constrain(x, ("data", "fsdp"))
-        if layout == "cf":
+        if self.s2d_full:
+            x = self.patch_mixer.call_cf_s2d(x)
+        elif layout == "cf":
             x = self.patch_mixer.call_cf(x)
         else:
             x = self.patch_mixer(x)
         skips = []
-        for encoder in self.encoders:
-            x, skip = encoder(x)
+        for i, encoder in enumerate(self.encoders):
+            if layout == "cf":
+                # level 0 under s2d_full: convs run packed, the skip STAYS
+                # packed (its UpBlock consumes it packed), the phase-max pool
+                # emits the unpacked half-res tensor level 1 expects.
+                x, skip = encoder(x, s2d=self.s2d_full and i == 0)
+            else:
+                x, skip = encoder(x)
             skips.append(skip)
         x = self.bottleneck1(x)
         x = self.bottleneck2(x)
         n_dec = len(self.decoders)
         packed = False
         for i, (decoder, skip) in enumerate(zip(self.decoders, reversed(skips))):
-            use_s2d = (
-                self.s2d_last
-                and i == n_dec - 1
-                and skip.shape[-1] % 2 == 0
-                and skip.shape[-2] % 2 == 0
+            last = i == n_dec - 1
+            # under s2d_full the last skip is already packed, so the s2d path
+            # is mandatory (the parity check refers to unpacked dims)
+            use_s2d = last and (
+                (self.s2d_full)
+                or (
+                    self.s2d_last
+                    and skip.shape[-1] % 2 == 0
+                    and skip.shape[-2] % 2 == 0
+                )
             )
-            x = decoder(x, skip, s2d=use_s2d) if layout == "cf" else decoder(x, skip)
+            if layout == "cf":
+                x = decoder(
+                    x, skip, s2d=use_s2d, skip_packed=self.s2d_full and last
+                )
+            else:
+                x = decoder(x, skip)
             packed = use_s2d
         if layout == "cf":
             fc = self.final_conv
             w = fc.kernel.value[0, 0, 0].astype(fc.dtype)  # (cin, cout)
             if packed:
                 # 1×1×1 contraction stays phase-packed (kron with I₄ keeps
-                # each phase independent), then ONE cheap unpack of the small
-                # 3-channel result
+                # each phase independent); under s2d_full the packed result is
+                # returned as-is (the Decoder's exit permutation unpacks),
+                # otherwise ONE cheap unpack of the small 3-channel result
                 w4 = jnp.kron(w, jnp.eye(4, dtype=fc.dtype))  # (4cin, 4cout)
                 y = jnp.einsum("btchw,cd->btdhw", x.astype(fc.dtype), w4)
                 y = y + jnp.repeat(fc.bias.value.astype(fc.dtype), 4)[
                     None, None, :, None, None
                 ]
-                return s2d_unpack_cf(y)
+                return y if self.s2d_full else s2d_unpack_cf(y)
             # emit CHANNELS-FIRST: a pixels-last (…, cout=3) output stores
             # into 3-lane-minor tiles (~20× over bandwidth); the decoder
             # transposes the small 3-channel result once at its exit

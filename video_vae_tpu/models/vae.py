@@ -139,6 +139,7 @@ class Decoder(nnx.Module):
             cfg.unembedding_upsample_rate,
             rngs,
             conv_layout=cfg.unet_layout,
+            pack_s2d=cfg.unet_s2d_full,
             dtype=dtype,
             param_dtype=pdtype,
         )
@@ -152,6 +153,7 @@ class Decoder(nnx.Module):
             remat=cfg.remat,
             layout=cfg.unet_layout,
             s2d_last=cfg.unet_s2d_last,
+            s2d_full=self.patch_unembedding.pack_s2d,
             dtype=dtype,
             param_dtype=pdtype,
         )
@@ -161,6 +163,14 @@ class Decoder(nnx.Module):
         for layer in self.layers:
             x = layer(x, attn_mask)
         conv_features, direct = self.patch_unembedding(x)
+        if self.unet.s2d_full:
+            # both paths are PHASE-PACKED (b,t,4·3,H/2,W/2); unpack and
+            # channels-last fuse into ONE permutation of the 3-channel sum
+            # (replacing the separate depth-to-space + exit transpose)
+            out = direct + self.unet(conv_features)
+            return rearrange(
+                out, "b t (c pa pb) h w -> b t (h pa) (w pb) c", pa=2, pb=2
+            )
         if self.unet.layout == "cf":
             # features flow channels-first end-to-end; both the direct path
             # and the UNet emit (b,t,3,h,w), and only this small 3-channel

@@ -38,7 +38,28 @@ def masked_attention(
     mask: bool, broadcastable to (batch, heads, q_seq, kv_seq); True = attend.
     """
     if impl == "pallas" and _on_tpu():
+        from video_vae_tpu.ops.conv3d import _log_dispatch, _mesh_info, _shard_map
         from video_vae_tpu.ops.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, mask)
+        mesh, axes = _mesh_info(q.shape[0])
+        if mesh is not None and axes is None:
+            # sharded mesh the kernel can't be batch-mapped onto — XLA's
+            # attention is GSPMD-native, so it is the safe path
+            pass
+        elif mesh is None:
+            return flash_attention(q, k, v, mask)
+        else:
+            # every differentiable operand is batch-sharded, so AD through the
+            # shard_map keeps cotangents sharded — no replicated-grad psum risk
+            from jax.sharding import PartitionSpec as P
+
+            _log_dispatch("flash_attention", "pallas", axes)
+            if mask is None:
+                return _shard_map(
+                    lambda q, k, v: flash_attention(q, k, v, None),
+                    mesh, (P(axes),) * 3, P(axes),
+                )(q, k, v)
+            return _shard_map(
+                flash_attention, mesh, (P(axes),) * 4, P(axes)
+            )(q, k, v, mask)
     return jax.nn.dot_product_attention(q, k, v, mask=mask)

@@ -43,6 +43,70 @@ def _tap_stride(cin: int) -> int:
     return ((cin + 7) // 8) * 8
 
 
+# ---------------------------------------------------------------------------
+# Mesh safety. pallas_call is OPAQUE to GSPMD: under a sharded mesh an
+# unpartitioned custom-call would silently all-gather its operands and run
+# fully replicated on every device. The batch grid is embarrassingly parallel,
+# so when a mesh is active the Pallas dispatches below wrap themselves in
+# shard_map over the batch axes (data, fsdp) — each device runs the kernel on
+# its local batch shard, zero collectives in the forward, one psum for the
+# wgrad. When the batch doesn't divide the mesh the dispatch falls back to
+# XLA (which GSPMD partitions natively) instead of risking the all-gather.
+# ---------------------------------------------------------------------------
+
+_dispatch_log: list = []
+
+
+def dispatch_log() -> tuple:
+    """Trace-time record of (op, impl, sharding) dispatch decisions — lets the
+    multichip dryrun assert which backend actually ran under the mesh."""
+    return tuple(_dispatch_log)
+
+
+def clear_dispatch_log() -> None:
+    _dispatch_log.clear()
+
+
+def _log_dispatch(op: str, impl: str, axes) -> None:
+    _dispatch_log.append((op, impl, tuple(axes) if axes else None))
+
+
+def _mesh_info(batch: int):
+    """(mesh, axes) for shard_mapping a batch-parallel Pallas call.
+
+    Returns (None, None) when no mesh is active or every axis has size 1
+    (single-chip semantics — call the kernel directly); (mesh, None) when a
+    sharded mesh is active but the batch cannot be evenly shard_mapped (the
+    caller must fall back to an XLA impl); (mesh, axes) when shard_map over
+    ``axes`` is safe.
+    """
+    from video_vae_tpu.parallel.sharding import active_mesh
+
+    mesh = active_mesh()
+    if mesh is None or all(s <= 1 for s in mesh.shape.values()):
+        return None, None
+    axes = tuple(a for a in ("data", "fsdp") if mesh.shape.get(a, 1) > 1)
+    size = 1
+    for a in axes:
+        size *= mesh.shape[a]
+    if not axes or batch % size:
+        return mesh, None
+    return mesh, axes
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    """jax.shard_map with replication checking off (pallas_call has no
+    replication rule), across the check_vma/check_rep API rename."""
+    try:
+        sm = jax.shard_map
+    except AttributeError:  # older jax
+        from jax.experimental.shard_map import shard_map as sm
+    try:
+        return sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False)
+    except TypeError:
+        return sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False)
+
+
 def _patch_budget(kh: int) -> int:
     """im2col scratch budget. The pallas_call raises vmem_limit_bytes to 64MB,
     so the scratch can exceed the default 16MB scoped cap. Measured on v5e:
@@ -524,21 +588,28 @@ def _conv3d_xla(x, kernel, bias):
 
 
 def _wgrad_kernel(
-    x_hbm, g_ref, o_ref, in_buf, patches_ref, sems,
-    *, kt, kh, kw, th, h, w, t, stride, csz,
+    *refs,
+    kt, kh, kw, th, h, w, t, stride, csz, src_layout,
 ):
     """Filter gradient dW = im2col(x) @ gᵀ, accumulated across the grid.
 
     Reuses the forward kernel's halo-DMA + flat-lane im2col structure with a
     kt-frame window (no temporal M-packing — the output M dim is already the
-    large tap·cin axis). g arrives as a regular (1, cout, th·w) block; the
-    single (K_pad, cout) fp32 output block has a CONSTANT index map, so it
-    lives in VMEM across the whole sequential grid and accumulates in place.
+    large tap·cin axis). Like the forward, MULTIPLE sources may DMA into
+    adjacent sublane ranges of the halo window (src_layout) — the wgrad of a
+    conv over a channel concat without materializing the concat (the UpBlock
+    skip concats; ~270 MB/call at 256² otherwise re-created every backward).
+    g arrives as a regular (1, cout, th·w) block; the single (K_pad, cout)
+    fp32 output block has a CONSTANT index map, so it lives in VMEM across
+    the whole sequential grid and accumulates in place.
 
     Why: both the hand-rolled channel-as-batch wgrad and XLA's native conv
     filter-gradient run ~1/200 of peak at these tiny channel counts — the
     (3,7,7) mixer's wgrad alone was 56 ms/step (xplane, v5e).
     """
+    n_src = len(src_layout)
+    srcs = refs[:n_src]
+    g_ref, o_ref, in_buf, patches_ref, sems = refs[n_src:]
     i = pl.program_id(0)
     tiles_per_frame = h // th
     ph, pt = kh // 2, kt // 2
@@ -559,20 +630,22 @@ def _wgrad_kernel(
     for df in range(kt):
         sf = t_idx - pt + df
         valid = jnp.logical_and(sf >= 0, sf < t)
-        if whole_frame:
-            dst = in_buf.at[df, :, pl.ds(ph * w, h * w)]
-            src = x_hbm.at[b_idx, jnp.clip(sf, 0, t - 1), :, :]
-        else:
-            dst = in_buf.at[df]
-            src = x_hbm.at[b_idx, jnp.clip(sf, 0, t - 1), :, pl.ds(rs * w, L)]
-        copy = pltpu.make_async_copy(src, dst, sems.at[df])
-        @pl.when(valid)
-        def _start(copy=copy):
-            copy.start()
+        for si, x_hbm in enumerate(srcs):
+            c_off, c_len = src_layout[si]
+            if whole_frame:
+                dst = in_buf.at[df, pl.ds(c_off, c_len), pl.ds(ph * w, h * w)]
+                src = x_hbm.at[b_idx, jnp.clip(sf, 0, t - 1), :, :]
+            else:
+                dst = in_buf.at[df, pl.ds(c_off, c_len), :]
+                src = x_hbm.at[b_idx, jnp.clip(sf, 0, t - 1), :, pl.ds(rs * w, L)]
+            copy = pltpu.make_async_copy(src, dst, sems.at[df, si])
+            @pl.when(valid)
+            def _start(copy=copy):
+                copy.start()
+            copies.append((valid, copy))
         @pl.when(jnp.logical_not(valid))
         def _zero(df=df):
             in_buf[df, :, :] = jnp.zeros((stride, L), in_buf.dtype)
-        copies.append((valid, copy))
     if whole_frame and ph:
         in_buf[:, :, : ph * w] = jnp.zeros((kt, stride, ph * w), in_buf.dtype)
         in_buf[:, :, (ph + h) * w :] = jnp.zeros(
@@ -646,18 +719,28 @@ def _wgrad_kernel(
 @functools.partial(jax.jit, static_argnames=("kt", "kh", "kw", "interpret"))
 def _conv3d_wgrad_pallas_cf(x, g, kt, kh, kw, interpret=False):
     """dW (kt,kh,kw,cin,cout) for a stride-1 SAME cf conv via the Pallas
-    im2col wgrad kernel. x: (b,t,cin,h,w); g: (b,t,cout,h,w) cotangent."""
-    b, t, cin, h, w = x.shape
+    im2col wgrad kernel. x: (b,t,cin,h,w) — or a TUPLE of cf activations
+    whose CHANNEL CONCAT is the conv input (each 8-aligned; the concat never
+    materializes, mirroring the forward's multi-source halo DMA).
+    g: (b,t,cout,h,w) cotangent."""
+    xs = x if isinstance(x, (tuple, list)) else (x,)
+    b, t, _, h, w = xs[0].shape
+    cins = [s.shape[2] for s in xs]
+    cin = sum(cins)
     cout = g.shape[2]
     stride = _tap_stride(cin)
-    if cin < stride:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, stride - cin), (0, 0), (0, 0)))
+    if len(xs) == 1 and cin < stride:
+        xs = (jnp.pad(xs[0], ((0, 0), (0, 0), (0, stride - cin), (0, 0), (0, 0))),)
+        cins = [stride]
+    assert all(c % 8 == 0 for c in cins), "multi-source channels must be 8-aligned"
     # row tile / K-chunking over the kt window frames
     th = _pick_tile_h(h, kt, kh, kw, w, stride)
     csz = _pick_chunk(kt, kh, kw, th, w, stride)
     k_pad = kt * kh * kw * stride
     dma_rows = th + kh - 1
-    xf = x.reshape(b, t, stride, h * w)
+    xf = tuple(s.reshape(b, t, c, h * w) for s, c in zip(xs, cins))
+    offs = [sum(cins[:i]) for i in range(len(cins))]
+    src_layout = tuple((o, c) for o, c in zip(offs, cins))
     gf = g.reshape(b * t, cout, h * w)
     tiles_per_frame = h // th
     grid = (b * t * tiles_per_frame,)
@@ -665,10 +748,11 @@ def _conv3d_wgrad_pallas_cf(x, g, kt, kh, kw, interpret=False):
         functools.partial(
             _wgrad_kernel,
             kt=kt, kh=kh, kw=kw, th=th, h=h, w=w, t=t, stride=stride, csz=csz,
+            src_layout=src_layout,
         ),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # x: manual halo DMA
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(xf)  # manual halo DMA
+        + [
             pl.BlockSpec(
                 (1, cout, th * w),
                 lambda i: (i // tiles_per_frame, 0, i % tiles_per_frame),
@@ -680,16 +764,16 @@ def _conv3d_wgrad_pallas_cf(x, g, kt, kh, kw, interpret=False):
         ),
         out_shape=jax.ShapeDtypeStruct((k_pad, cout), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((kt, stride, dma_rows * w), x.dtype),
-            pltpu.VMEM((csz * kh * kw * stride, th * w), x.dtype),
-            pltpu.SemaphoreType.DMA((kt,)),
+            pltpu.VMEM((kt, stride, dma_rows * w), xs[0].dtype),
+            pltpu.VMEM((csz * kh * kw * stride, th * w), xs[0].dtype),
+            pltpu.SemaphoreType.DMA((kt, len(xf))),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
             dimension_semantics=("arbitrary",),  # sequential: o_ref accumulates
         ),
         interpret=interpret,
-    )(xf, gf)
+    )(*xf, gf)
     dw = out.reshape(kt, kh, kw, stride, cout)[:, :, :, :cin, :]
     return dw
 
@@ -740,7 +824,20 @@ def conv3d_direct(
         else:
             impl = "xla"
     if impl == "pallas":
-        return _conv3d_pallas(x, kernel, bias, interpret=interpret)
+        mesh, axes = _mesh_info(x.shape[0])
+        if mesh is not None and axes is None:
+            impl = "xla"  # sharded mesh, batch not mappable — GSPMD-safe path
+        else:
+            _log_dispatch("conv3d_direct", "pallas", axes)
+            if mesh is None:
+                return _conv3d_pallas(x, kernel, bias, interpret=interpret)
+            from jax.sharding import PartitionSpec as P
+
+            return _shard_map(
+                lambda xs, ks, bs: _conv3d_pallas(xs, ks, bs, interpret=interpret),
+                mesh, (P(axes), P(), P()), P(axes),
+            )(x, kernel, bias)
+    _log_dispatch("conv3d_direct", impl, None)
     if impl == "s2d":
         return conv3d_s2d(x, kernel, bias)
     if impl == "decomposed":
@@ -900,7 +997,20 @@ def conv3d_cf(
         on_tpu = jax.devices()[0].platform == "tpu"
         impl = _cf_auto_impl(x.shape, x.dtype, kernel.shape, on_tpu, interpret)
     if impl == "pallas":
-        return _conv3d_pallas_cf(x, kernel, bias, interpret=interpret)
+        mesh, axes = _mesh_info(x.shape[0])
+        if mesh is not None and axes is None:
+            impl = "xla"  # sharded mesh, batch not mappable — GSPMD-safe path
+        else:
+            _log_dispatch("conv3d_cf", "pallas", axes)
+            if mesh is None:
+                return _conv3d_pallas_cf(x, kernel, bias, interpret=interpret)
+            from jax.sharding import PartitionSpec as P
+
+            return _shard_map(
+                lambda xs, ks, bs: _conv3d_pallas_cf(xs, ks, bs, interpret=interpret),
+                mesh, (P(axes), P(), P()), P(axes),
+            )(x, kernel, bias)
+    _log_dispatch("conv3d_cf", impl, None)
     if impl == "s2d":
         return conv3d_s2d_cf(x, kernel, bias)
     if impl == "decomposed":
@@ -912,40 +1022,68 @@ def _conv3d_cf_fwd(x, kernel, bias, impl, interpret):
     return conv3d_cf(x, kernel, bias, impl, interpret), (x, kernel)
 
 
-def _conv3d_cf_bwd(impl, interpret, residuals, g):
-    """cf-layout gradients. dx is itself a stride-1 SAME conv (spatially
-    flipped, IO-swapped kernel), so it re-enters conv3d_cf's dispatch and runs
-    on the Pallas direct kernel at supported shapes — XLA's padded conv made
-    the backward as MXU-hostile as the round-1 forward. Matches the forward's
-    precision (bf16 operands, fp32 accumulation). dkernel/dbias stay XLA:
-    wgrad contracts over b·t·h·w into a tiny kernel — a different shape that
-    XLA handles fine."""
-    x, kernel = residuals
+def _cf_grads(srcs, kernel, interpret, g):
+    """Shared cf-layout gradient core over one-or-more channel-concat sources.
+
+    dx is itself a stride-1 SAME conv (spatially flipped, IO-swapped kernel),
+    so it re-enters conv3d_cf's dispatch and runs on the Pallas direct kernel
+    at supported shapes — XLA's padded conv made the backward as MXU-hostile
+    as the round-1 forward. Matches the forward's precision (bf16 operands,
+    fp32 accumulation). Returns the FULL (c1+…+cn)-channel dx; cat2 callers
+    slice it per source.
+
+    wgrad: the Pallas im2col wgrad kernel where supported — BOTH the
+    hand-rolled channel-as-batch formulation and XLA's native conv
+    filter-gradient run ~1/200 of peak at these channel counts (the (3,7,7)
+    mixer's wgrad alone was 56 ms/step in the v5e train-step trace, both
+    ways). Multi-source inputs go through the kernel's multi-source halo DMA
+    (no concat materialization); off the supported shapes the XLA fallback
+    concats (cheap there — those are the small/CPU shapes).
+    """
+    x0 = srcs[0]
     kt, kh, kw, cin, cout = kernel.shape
     flipped = jnp.swapaxes(jnp.flip(kernel, axis=(0, 1, 2)), 3, 4)  # (kt,kh,kw,cout,cin)
     dx = conv3d_cf(
-        g.astype(x.dtype),
-        flipped.astype(x.dtype),
+        g.astype(x0.dtype),
+        flipped.astype(x0.dtype),
         jnp.zeros((cin,), jnp.float32),
         "auto",
         interpret,
     )
-    # wgrad: the Pallas im2col wgrad kernel where supported — BOTH the
-    # hand-rolled channel-as-batch formulation and XLA's native conv
-    # filter-gradient run ~1/200 of peak at these channel counts (the (3,7,7)
-    # mixer's wgrad alone was 56 ms/step in the v5e train-step trace, both
-    # ways). Falls back to XLA's filter-gradient off the supported shapes.
-    b, t, cin_, h, w = x.shape
+    b, t, _, h, w = x0.shape
     on_tpu = jax.devices()[0].platform == "tpu"
+    mesh, axes = _mesh_info(b)
+    multi_ok = len(srcs) == 1 or all(s.shape[2] % 8 == 0 for s in srcs)
     if (
         (on_tpu or interpret)
-        and x.dtype.itemsize == 2
-        and pallas_wgrad_supported((b, t, h, w, cin_), kernel.shape)
+        and x0.dtype.itemsize == 2
+        and multi_ok
+        and pallas_wgrad_supported((b, t, h, w, cin), kernel.shape)
+        and not (mesh is not None and axes is None)
     ):
-        dkernel = _conv3d_wgrad_pallas_cf(
-            x, g.astype(x.dtype), kt, kh, kw, interpret=interpret
-        ).astype(kernel.dtype)
+        xs = srcs[0] if len(srcs) == 1 else tuple(srcs)
+        if mesh is None:
+            dkernel = _conv3d_wgrad_pallas_cf(
+                xs, g.astype(x0.dtype), kt, kh, kw, interpret=interpret
+            ).astype(kernel.dtype)
+        else:
+            # per-shard partial wgrads contract only the local batch; the
+            # filter gradient needs the cross-shard sum
+            from jax.sharding import PartitionSpec as P
+
+            _log_dispatch("conv3d_cf_wgrad", "pallas", axes)
+            n = len(srcs)
+
+            def _wgrad_psum(*args):
+                xs_l, gs = (args[0] if n == 1 else tuple(args[:n])), args[n]
+                dw = _conv3d_wgrad_pallas_cf(xs_l, gs, kt, kh, kw, interpret=interpret)
+                return jax.lax.psum(dw, axes)
+
+            dkernel = _shard_map(
+                _wgrad_psum, mesh, (P(axes),) * (n + 1), P()
+            )(*srcs, g.astype(x0.dtype)).astype(kernel.dtype)
     else:
+        x = srcs[0] if len(srcs) == 1 else jnp.concatenate(srcs, axis=2)
         _, vjp_k = jax.vjp(
             lambda k: jax.lax.conv_general_dilated(
                 x.astype(jnp.float32), k, (1, 1, 1), "SAME",
@@ -958,6 +1096,11 @@ def _conv3d_cf_bwd(impl, interpret, residuals, g):
         dkernel = dkernel.astype(kernel.dtype)
     dbias = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 3, 4))
     return dx, dkernel, dbias
+
+
+def _conv3d_cf_bwd(impl, interpret, residuals, g):
+    x, kernel = residuals
+    return _cf_grads((x,), kernel, interpret, g)
 
 
 conv3d_cf.defvjp(_conv3d_cf_fwd, _conv3d_cf_bwd)
@@ -987,7 +1130,21 @@ def conv3d_cf_pooled(
         on_tpu = jax.devices()[0].platform == "tpu"
         impl = _cf_auto_impl(x.shape, x.dtype, kernel.shape, on_tpu, interpret)
     if impl == "pallas":
-        return _conv3d_pallas_cf(x, kernel, bias, interpret=interpret, pool=True)
+        mesh, axes = _mesh_info(x.shape[0])
+        if mesh is not None and axes is None:
+            impl = "xla"
+        else:
+            _log_dispatch("conv3d_cf_pooled", "pallas", axes)
+            if mesh is None:
+                return _conv3d_pallas_cf(x, kernel, bias, interpret=interpret, pool=True)
+            from jax.sharding import PartitionSpec as P
+
+            return _shard_map(
+                lambda xs, ks, bs: _conv3d_pallas_cf(
+                    xs, ks, bs, interpret=interpret, pool=True
+                ),
+                mesh, (P(axes), P(), P()), (P(axes), P(axes)),
+            )(x, kernel, bias)
     full = conv3d_cf(x, kernel, bias, impl, interpret)
     return full, max_pool_2x_cf(full)
 
@@ -1039,7 +1196,21 @@ def conv3d_cf_cat2(
             (b, t, c1 + c2, h, w), x1.dtype, kernel.shape, on_tpu, interpret
         )
     if impl == "pallas" and c1 % 8 == 0 and c2 % 8 == 0:
-        return _conv3d_pallas_cf((x1, x2), kernel, bias, interpret=interpret)
+        mesh, axes = _mesh_info(b)
+        if mesh is not None and axes is None:
+            impl = "xla"
+        else:
+            _log_dispatch("conv3d_cf_cat2", "pallas", axes)
+            if mesh is None:
+                return _conv3d_pallas_cf((x1, x2), kernel, bias, interpret=interpret)
+            from jax.sharding import PartitionSpec as P
+
+            return _shard_map(
+                lambda a, bsrc, ks, bs: _conv3d_pallas_cf(
+                    (a, bsrc), ks, bs, interpret=interpret
+                ),
+                mesh, (P(axes), P(axes), P(), P()), P(axes),
+            )(x1, x2, kernel, bias)
     return conv3d_cf(
         jnp.concatenate([x1, x2], axis=2), kernel, bias, impl, interpret
     )
@@ -1050,11 +1221,12 @@ def _conv3d_cf_cat2_fwd(x1, x2, kernel, bias, impl, interpret):
 
 
 def _conv3d_cf_cat2_bwd(impl, interpret, residuals, g):
+    """No materialized concat in the backward either: dx never needs x at all
+    (it's a conv of g), and the wgrad DMAs both sources into the halo window
+    (see _cf_grads / _wgrad_kernel src_layout)."""
     x1, x2, kernel = residuals
     c1 = x1.shape[2]
-    dx, dkernel, dbias = _conv3d_cf_bwd(
-        impl, interpret, (jnp.concatenate([x1, x2], axis=2), kernel), g
-    )
+    dx, dkernel, dbias = _cf_grads((x1, x2), kernel, interpret, g)
     return dx[:, :, :c1], dx[:, :, c1:], dkernel, dbias
 
 

@@ -364,45 +364,24 @@ def fused_qkv_attention(
     return out
 
 
-def _fused_call(qkv, q_scale, k_scale, mask, num_heads, rope_base, rope_alpha, interpret):
-    from video_vae_tpu.ops.rope import rope_tables
-
+def _fused_pallas(qkv, m, qs_tiled, ks_tiled, cos_t, sin_t, seg, *, num_heads, interpret):
+    """The pallas_call portion on (possibly per-shard) operands."""
     b, s, three_hd = qkv.shape
     hd = three_hd // 3
     d = hd // num_heads
-    cos, sin = rope_tables(s, d, rope_base, rope_alpha)
-
-    on_tpu = jax.devices()[0].platform == "tpu"
-    if not (on_tpu or interpret):
-        return _reference_fused_chain(qkv, q_scale, k_scale, mask, num_heads, cos, sin)
-
     # bb=8/64 measured best end-to-end (16/128 A/B'd at -1 clips/s: bigger
     # tiles reduce grid parallelism without improving the VPU-bound chain)
     bb = 8 if s >= 128 else 64
     pad = (-b) % bb
     if pad:
         qkv = jnp.concatenate([qkv, jnp.zeros((pad, s, three_hd), qkv.dtype)], axis=0)
-    if mask is None:
-        m = jnp.ones((b + pad, 1, s), jnp.int32)
-    else:
-        m = mask.reshape(b, 1, s).astype(jnp.int32)
-        if pad:
-            m = jnp.concatenate([m, jnp.ones((pad, 1, s), jnp.int32)], axis=0)
+        m = jnp.concatenate([m, jnp.ones((pad, 1, s), jnp.int32)], axis=0)
 
     qkv_spec = pl.BlockSpec((bb, s, three_hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     scale_spec = pl.BlockSpec((1, hd), lambda i: (0, 0), memory_space=pltpu.VMEM)
     table_spec = pl.BlockSpec((s, hd), lambda i: (0, 0), memory_space=pltpu.VMEM)
     seg_spec = pl.BlockSpec((hd, 2 * num_heads), lambda i: (0, 0), memory_space=pltpu.VMEM)
     mask_spec = pl.BlockSpec((bb, 1, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-
-    # per-head params/tables pre-tiled across the H·D lane dim; 0/1 segment
-    # matrix for the in-kernel per-head mean/var (see _fused_kernel)
-    qs_tiled = jnp.tile(q_scale.reshape(1, d), (1, num_heads))
-    ks_tiled = jnp.tile(k_scale.reshape(1, d), (1, num_heads))
-    cos_t = jnp.tile(cos.astype(jnp.float32), (1, num_heads))  # (S, HD)
-    sin_t = jnp.tile(sin.astype(jnp.float32), (1, num_heads))
-    lane = jnp.arange(hd)
-    seg = jnp.zeros((hd, 2 * num_heads), jnp.float32).at[lane, lane // d].set(1.0)
 
     out = pl.pallas_call(
         functools.partial(_fused_kernel, scale=1.0 / (d**0.5), num_heads=num_heads),
@@ -426,6 +405,56 @@ def _fused_call(qkv, q_scale, k_scale, mask, num_heads, rope_base, rope_alpha, i
     return out[:b]
 
 
+def _fused_call(qkv, q_scale, k_scale, mask, num_heads, rope_base, rope_alpha, interpret):
+    from video_vae_tpu.ops.rope import rope_tables
+
+    b, s, three_hd = qkv.shape
+    hd = three_hd // 3
+    d = hd // num_heads
+    cos, sin = rope_tables(s, d, rope_base, rope_alpha)
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if not (on_tpu or interpret):
+        return _reference_fused_chain(qkv, q_scale, k_scale, mask, num_heads, cos, sin)
+
+    # Mesh safety: pallas_call is opaque to GSPMD — under a sharded mesh, run
+    # the kernel per batch shard via shard_map (no collectives; the batch grid
+    # is embarrassingly parallel), or fall back to the identical-math XLA
+    # chain when the batch can't be evenly mapped. (ops/conv3d.py has the
+    # same policy for the conv kernels.)
+    from video_vae_tpu.ops.conv3d import _log_dispatch, _mesh_info, _shard_map
+
+    mesh, axes = _mesh_info(b)
+    if mesh is not None and axes is None:
+        return _reference_fused_chain(qkv, q_scale, k_scale, mask, num_heads, cos, sin)
+
+    if mask is None:
+        m = jnp.ones((b, 1, s), jnp.int32)
+    else:
+        m = mask.reshape(b, 1, s).astype(jnp.int32)
+
+    # per-head params/tables pre-tiled across the H·D lane dim; 0/1 segment
+    # matrix for the in-kernel per-head mean/var (see _fused_kernel)
+    qs_tiled = jnp.tile(q_scale.reshape(1, d), (1, num_heads))
+    ks_tiled = jnp.tile(k_scale.reshape(1, d), (1, num_heads))
+    cos_t = jnp.tile(cos.astype(jnp.float32), (1, num_heads))  # (S, HD)
+    sin_t = jnp.tile(sin.astype(jnp.float32), (1, num_heads))
+    lane = jnp.arange(hd)
+    seg = jnp.zeros((hd, 2 * num_heads), jnp.float32).at[lane, lane // d].set(1.0)
+
+    kernel = functools.partial(_fused_pallas, num_heads=num_heads, interpret=interpret)
+    _log_dispatch("fused_attention", "pallas", axes)
+    if mesh is None:
+        return kernel(qkv, m, qs_tiled, ks_tiled, cos_t, sin_t, seg)
+    from jax.sharding import PartitionSpec as P
+
+    return _shard_map(
+        kernel, mesh,
+        (P(axes), P(axes), P(), P(), P(), P(), P()),
+        P(axes),
+    )(qkv, m, qs_tiled, ks_tiled, cos_t, sin_t, seg)
+
+
 def _fused_fwd(qkv, q_scale, k_scale, mask, num_heads, rope_base, rope_alpha, interpret):
     out = _fused_call(
         qkv, q_scale, k_scale, mask, num_heads, rope_base, rope_alpha, interpret
@@ -433,12 +462,206 @@ def _fused_fwd(qkv, q_scale, k_scale, mask, num_heads, rope_base, rope_alpha, in
     return out, (qkv, q_scale, k_scale, mask)
 
 
+def _fused_bwd_kernel(
+    qkv_ref, mask_ref, qs_ref, ks_ref, cos_ref, sin_ref, seg_ref, g_ref,
+    dqkv_ref, dqs_ref, dks_ref, dqr_buf, dkr_buf,
+    *, scale: float, num_heads: int,
+):
+    """Fused backward: recompute the LN+RoPE+softmax chain in VMEM (flash-style
+    remat), then emit dqkv in ONE kernel — the round-2 backward re-ran the
+    whole chain as ~a dozen XLA elementwise passes + head transposes per
+    block (ops/flash_attention.py r2 note; VERDICT r2 weak #2).
+
+    Structure mirrors _fused_kernel: the pre-attention chain and its backward
+    run VECTORIZED over all heads via the segment-matmul / global-roll lane
+    tricks; heads are looped only for the MXU dots (7 per head here: softmax
+    recompute 2 + dv/dp/dqr/dkr/… 5). Per-block dscale partials land in
+    (1, HD) output rows — the wrapper sums blocks and folds the H segments.
+    """
+    hd = g_ref.shape[-1]
+    d = hd // num_heads
+    mask = mask_ref[:]
+    cos = cos_ref[:].astype(jnp.float32)[None]
+    sin = sin_ref[:].astype(jnp.float32)[None]
+    seg = seg_ref[:].astype(jnp.float32)
+    segT = seg[:, :num_heads]
+    lane_phase = jax.lax.broadcasted_iota(jnp.int32, (1, 1, hd), dimension=2) & (d - 1)
+
+    def seg_mean(x):  # per-head mean broadcast back to HD lanes
+        sums = jax.lax.dot_general(
+            x, seg, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return jax.lax.dot_general(
+            sums[:, :, :num_heads], segT,
+            (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        ) * (1.0 / d)
+
+    def ln_norm(x):  # (xn, r): normalized-unscaled activations + rsqrt factor
+        mean = seg_mean(x)
+        meansq = seg_mean(jnp.square(x))
+        var = meansq - jnp.square(mean)
+        r = jax.lax.rsqrt(var + _LN_EPS)
+        return (x - mean) * r, r
+
+    def rope_fwd(x):
+        fwd = pltpu.roll(x, shift=hd - d // 2, axis=2)
+        bwd = pltpu.roll(x, shift=d // 2, axis=2)
+        rot = jnp.where(lane_phase < d // 2, -fwd, bwd)
+        return x * cos + rot * sin
+
+    def rope_bwd(u):  # transpose of rope_fwd: rotᵀ(v)[j<d/2]=v[j+d/2], else −v[j−d/2]
+        us = u * sin
+        a = pltpu.roll(us, shift=hd - d // 2, axis=2)
+        b_ = pltpu.roll(us, shift=d // 2, axis=2)
+        return u * cos + jnp.where(lane_phase < d // 2, a, -b_)
+
+    q = qkv_ref[:, :, :hd].astype(jnp.float32)
+    k = qkv_ref[:, :, hd : 2 * hd].astype(jnp.float32)
+    xn_q, r_q = ln_norm(q)
+    xn_k, r_k = ln_norm(k)
+    qs = qs_ref[:].astype(jnp.float32)
+    ks = ks_ref[:].astype(jnp.float32)
+    qr = rope_fwd(xn_q * qs)
+    kr = rope_fwd(xn_k * ks)
+
+    do = g_ref[:].astype(jnp.float32)
+    for h in range(num_heads):
+        sl = slice(h * d, (h + 1) * d)
+        qh, kh = qr[:, :, sl], kr[:, :, sl]
+        vh = qkv_ref[:, :, 2 * hd + h * d : 2 * hd + (h + 1) * d].astype(jnp.float32)
+        doh = do[:, :, sl]
+        s = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ) * scale
+        s = jnp.where(mask > 0, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        dv = jax.lax.dot_general(
+            p, doh, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        dqkv_ref[:, :, 2 * hd + h * d : 2 * hd + (h + 1) * d] = dv.astype(dqkv_ref.dtype)
+        dp = jax.lax.dot_general(
+            doh, vh, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        row = jnp.sum(p * dp, axis=-1, keepdims=True)
+        ds = p * (dp - row) * scale
+        dqr_buf[:, :, sl] = jax.lax.dot_general(
+            ds, kh, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        dkr_buf[:, :, sl] = jax.lax.dot_general(
+            ds, qh, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+
+    def ln_scale_bwd(dr, xn, r, scale_vec, dscale_ref, dst):
+        """Backward through rope → scale → LN, vectorized over heads."""
+        dln = rope_bwd(dr)  # d(xn·scale)
+        # dscale partial: Σ over (BB,S); H-segment fold happens host-side
+        dscale_ref[0, :] = jnp.sum(dln * xn, axis=(0, 1))
+        dxn = dln * scale_vec
+        # LN backward per segment: dx = r·(dxn − mean(dxn) − xn·mean(dxn∘xn))
+        dx = r * (dxn - seg_mean(dxn) - xn * seg_mean(dxn * xn))
+        dqkv_ref[:, :, dst] = dx.astype(dqkv_ref.dtype)
+
+    ln_scale_bwd(dqr_buf[:], xn_q, r_q, qs, dqs_ref, slice(0, hd))
+    ln_scale_bwd(dkr_buf[:], xn_k, r_k, ks, dks_ref, slice(hd, 2 * hd))
+
+
+def _fused_bwd_pallas(qkv, m, g, qs_tiled, ks_tiled, cos_t, sin_t, seg, *, num_heads, interpret):
+    b, s, three_hd = qkv.shape
+    hd = three_hd // 3
+    d = hd // num_heads
+    bb = 8 if s >= 128 else 64
+    pad = (-b) % bb
+    if pad:
+        qkv = jnp.concatenate([qkv, jnp.zeros((pad, s, three_hd), qkv.dtype)], axis=0)
+        m = jnp.concatenate([m, jnp.ones((pad, 1, s), jnp.int32)], axis=0)
+        g = jnp.concatenate([g, jnp.zeros((pad, s, hd), g.dtype)], axis=0)
+    n_blocks = (b + pad) // bb
+
+    qkv_spec = pl.BlockSpec((bb, s, three_hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((bb, s, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    scale_spec = pl.BlockSpec((1, hd), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec((s, hd), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    seg_spec = pl.BlockSpec((hd, 2 * num_heads), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((bb, 1, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    part_spec = pl.BlockSpec((1, hd), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    dqkv, dqs_p, dks_p = pl.pallas_call(
+        functools.partial(_fused_bwd_kernel, scale=1.0 / (d**0.5), num_heads=num_heads),
+        grid=(n_blocks,),
+        in_specs=[
+            qkv_spec, mask_spec, scale_spec, scale_spec,
+            table_spec, table_spec, seg_spec, o_spec,
+        ],
+        out_specs=(qkv_spec, part_spec, part_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b + pad, s, three_hd), qkv.dtype),
+            jax.ShapeDtypeStruct((n_blocks, hd), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, hd), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bb, s, hd), jnp.float32),
+            pltpu.VMEM((bb, s, hd), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(qkv, m, qs_tiled, ks_tiled, cos_t, sin_t, seg, g)
+    # sum the per-block partials, fold the H lane segments back to (D,)
+    dqs = jnp.sum(dqs_p, axis=0).reshape(num_heads, d).sum(axis=0)
+    dks = jnp.sum(dks_p, axis=0).reshape(num_heads, d).sum(axis=0)
+    return dqkv[:b], dqs, dks
+
+
 def _fused_bwd(num_heads, rope_base, rope_alpha, interpret, residuals, g):
     from video_vae_tpu.ops.rope import rope_tables
 
     qkv, q_scale, k_scale, mask = residuals
-    s, d = qkv.shape[1], qkv.shape[2] // (3 * num_heads)
+    b, s, three_hd = qkv.shape
+    hd = three_hd // 3
+    d = hd // num_heads
     cos, sin = rope_tables(s, d, rope_base, rope_alpha)
+
+    import os
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    use_pallas = (on_tpu or interpret) and os.environ.get("VVT_FUSED_BWD", "pallas") != "xla"
+    if use_pallas:
+        from video_vae_tpu.ops.conv3d import _log_dispatch, _mesh_info, _shard_map
+
+        mesh, axes = _mesh_info(b)
+        if not (mesh is not None and axes is None):
+            if mask is None:
+                m = jnp.ones((b, 1, s), jnp.int32)
+            else:
+                m = mask.reshape(b, 1, s).astype(jnp.int32)
+            qs_tiled = jnp.tile(q_scale.reshape(1, d), (1, num_heads))
+            ks_tiled = jnp.tile(k_scale.reshape(1, d), (1, num_heads))
+            cos_t = jnp.tile(cos.astype(jnp.float32), (1, num_heads))
+            sin_t = jnp.tile(sin.astype(jnp.float32), (1, num_heads))
+            lane = jnp.arange(hd)
+            seg = jnp.zeros((hd, 2 * num_heads), jnp.float32).at[lane, lane // d].set(1.0)
+            kern = functools.partial(
+                _fused_bwd_pallas, num_heads=num_heads, interpret=interpret
+            )
+            _log_dispatch("fused_attention_bwd", "pallas", axes)
+            if mesh is None:
+                return (*kern(qkv, m, g, qs_tiled, ks_tiled, cos_t, sin_t, seg), None)
+            from jax.sharding import PartitionSpec as P
+
+            def body(qkv, m, g, qs_t, ks_t, cos_t, sin_t, seg):
+                dqkv, dqs, dks = kern(qkv, m, g, qs_t, ks_t, cos_t, sin_t, seg)
+                # scale params are replicated — their grads need the
+                # cross-shard sum
+                return dqkv, jax.lax.psum(dqs, axes), jax.lax.psum(dks, axes)
+
+            dqkv, dqs, dks = _shard_map(
+                body, mesh,
+                (P(axes), P(axes), P(axes), P(), P(), P(), P(), P()),
+                (P(axes), P(), P()),
+            )(qkv, m, g, qs_tiled, ks_tiled, cos_t, sin_t, seg)
+            return dqkv, dqs, dks, None
+
     _, vjp = jax.vjp(
         lambda qkv, qs, ks: _reference_fused_chain(
             qkv, qs, ks, mask, num_heads, cos, sin

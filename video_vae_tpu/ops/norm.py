@@ -31,13 +31,18 @@ def group_norm_cf(
     mean = jnp.mean(xf, axis=(1, 3, 4, 5), keepdims=True)
     var = jnp.mean(jnp.square(xf), axis=(1, 3, 4, 5), keepdims=True) - jnp.square(mean)
     mul = jax.lax.rsqrt(var + eps)
-    y = (xg - mean.astype(x.dtype)) * mul.astype(x.dtype)
+    # normalize + affine + SiLU all in fp32, ONE cast at the end — matching
+    # nnx.GroupNorm, which keeps the whole chain in promoted precision and
+    # casts once on return (a bf16 subtract/scale here drifted vs the twin
+    # module; the intermediates are in-register inside the fusion, so fp32
+    # costs no extra HBM traffic)
+    y = (xf - mean) * mul
     y = y.reshape(b, t, c, h, w)
-    y = y * scale.astype(x.dtype)[None, None, :, None, None]
-    y = y + bias.astype(x.dtype)[None, None, :, None, None]
+    y = y * scale.astype(jnp.float32)[None, None, :, None, None]
+    y = y + bias.astype(jnp.float32)[None, None, :, None, None]
     if silu:
         y = jax.nn.silu(y)
-    return y
+    return y.astype(x.dtype)
 
 
 def max_pool_2x_cf(x: jnp.ndarray) -> jnp.ndarray:
