@@ -44,6 +44,7 @@ REPEATS = 3
 ATTN_IMPL = os.environ.get("VVT_ATTN_IMPL", "")
 UNET_LAYOUT = os.environ.get("VVT_UNET_LAYOUT", "")
 UNET_S2D = os.environ.get("VVT_UNET_S2D", "")
+UNET_S2D_FULL = os.environ.get("VVT_UNET_S2D_FULL", "")
 
 
 def timed_chain(chained, state, video, mask, k):
@@ -63,6 +64,8 @@ def main() -> None:
         overrides["unet_layout"] = UNET_LAYOUT
     if UNET_S2D:
         overrides["unet_s2d_last"] = UNET_S2D == "1"
+    if UNET_S2D_FULL:
+        overrides["unet_s2d_full"] = UNET_S2D_FULL == "1"
     cfg = ModelConfig(remat=False, **overrides)  # flagship; no remat on inference
     # (remat is a training-memory optimization and clashes with scan-chained timing)
     graphdef, _ = nnx.split(nnx.eval_shape(lambda: VideoVAE(cfg, nnx.Rngs(0, sampling=1))))

@@ -39,7 +39,7 @@ FRAMES = 4
 BATCH = 1
 
 
-def main(out_path: str) -> None:
+def main(out_path: str, enc_depth: int = 1, dec_depth: int = 1) -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -58,7 +58,7 @@ def main(out_path: str) -> None:
 
     ref = rl_model.VideoVAE(
         height=H, width=W, channels=3, patch_size=PATCH,
-        encoder_depth=1, decoder_depth=1, mlp_dim=64, num_heads=2,
+        encoder_depth=enc_depth, decoder_depth=dec_depth, mlp_dim=64, num_heads=2,
         qkv_features=32, max_temporal_len=8, spatial_compression_rate=8,
         unembedding_upsample_rate=4, rngs=nnx.Rngs(0, sampling=1),
         dtype=jnp.float32, param_dtype=jnp.float32,
@@ -127,4 +127,8 @@ def main(out_path: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1])
+    main(
+        sys.argv[1],
+        int(sys.argv[2]) if len(sys.argv) > 2 else 1,
+        int(sys.argv[3]) if len(sys.argv) > 3 else 1,
+    )

@@ -74,3 +74,47 @@ def test_load_vgg_without_weights_warns_loudly():
 
     with pytest.warns(UserWarning, match="RANDOM"):
         load_vgg(None, dtype=jnp.float32)
+
+
+def test_vgg_cf_layout_matches_nhwc():
+    """The channels-first VGG path (Pallas-eligible conv3d_cf dispatch, XLA
+    fallback on CPU) must reproduce the nhwc activations exactly up to fp32
+    conv-order tolerance — same params, layouts differ."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import nnx
+
+    from video_vae_tpu.models.vgg import VGG16Features
+
+    nhwc = VGG16Features(nnx.Rngs(0), dtype=jnp.float32)
+    cf = VGG16Features(nnx.Rngs(0), layout="cf", dtype=jnp.float32)
+    x = jax.random.uniform(jax.random.key(1), (3, 32, 32, 3), jnp.float32)
+    a = jax.jit(lambda m, x: m(x))(nhwc, x)
+    b = jax.jit(lambda m, x: m(x))(cf, x)
+    for layer in a:
+        av = np.asarray(a[layer])
+        bv = np.asarray(b[layer])
+        # cf activations are (1, N, C, H, W); nhwc are (N, H, W, C)
+        bv = np.transpose(bv[0], (0, 2, 3, 1))
+        np.testing.assert_allclose(bv, av, atol=1e-4, rtol=1e-3)
+
+
+def test_perceptual_loss_cf_matches_nhwc():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import nnx
+
+    from video_vae_tpu.losses.perceptual import make_perceptual_loss_fn
+    from video_vae_tpu.models.vgg import VGG16Features
+
+    fn_nhwc = make_perceptual_loss_fn(VGG16Features(nnx.Rngs(0), dtype=jnp.float32))
+    fn_cf = make_perceptual_loss_fn(
+        VGG16Features(nnx.Rngs(0), layout="cf", dtype=jnp.float32)
+    )
+    x = jax.random.uniform(jax.random.key(1), (2, 3, 32, 32, 3), jnp.float32)
+    tgt = jax.random.uniform(jax.random.key(2), (1, 3, 32, 32, 3), jnp.float32)
+    a = jax.jit(lambda x, t: fn_nhwc(x, t, 2))(x, tgt)
+    b = jax.jit(lambda x, t: fn_cf(x, t, 2))(x, tgt)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-3)

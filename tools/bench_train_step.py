@@ -42,6 +42,8 @@ def main() -> None:
     parser.add_argument("--frames", type=int, default=16)
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--no_perceptual", action="store_true")
+    parser.add_argument("--vgg_layout", default="nhwc", choices=["nhwc", "cf"],
+                        help="perceptual-conv layout A/B (LossConfig.vgg_layout)")
     parser.add_argument("--remat", action="store_true",
                         help="config-gated per-block remat (what long-clip "
                         "curriculum training pays for memory). WARNING: the "
@@ -53,7 +55,9 @@ def main() -> None:
     args = parser.parse_args()
 
     cfg = ModelConfig(remat=args.remat)
-    loss_cfg = LossConfig(use_perceptual=not args.no_perceptual)
+    loss_cfg = LossConfig(
+        use_perceptual=not args.no_perceptual, vgg_layout=args.vgg_layout
+    )
     perceptual_fn = build_perceptual(loss_cfg)
     tx = make_tx(OptimConfig())
 

@@ -164,11 +164,19 @@ class LossConfig:
     kl_normalizer: str = "kept_frames"
     use_perceptual: bool = True
     use_adversarial: bool = False
+    # VGG feature-extractor layout: "cf" runs the perceptual convs
+    # CHANNELS-FIRST through the Pallas direct-conv dispatch (one cheap
+    # 3-channel transpose at entry, zero per-conv transposes — the round-2
+    # nhwc-wrapper routing that transposed the 64-channel activations around
+    # every call lost by 180 ms/step; this is the channels-first-native
+    # variant models/vgg.py:71-75 scoped). "nhwc" = plain XLA convs.
+    vgg_layout: str = "nhwc"
 
     def __post_init__(self):
         assert self.selection_penalty in ("square", "abs")
         assert self.rl_objective in ("normalized_prod", "log_prob")
         assert self.kl_normalizer in ("seq_len", "kept_frames")
+        assert self.vgg_layout in ("nhwc", "cf")
 
     def replace(self, **kw) -> "LossConfig":
         return dataclasses.replace(self, **kw)

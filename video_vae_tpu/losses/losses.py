@@ -122,10 +122,13 @@ def vae_loss(
         + hp.gamma_mae * mae
     )
 
+    # NOTE: the reconstruction tensor deliberately does NOT ride in metrics —
+    # the reference returns it from every jit_train_step (rl_nonadversarial.py
+    # :177), which at pod scale is a (2b,t,H,W,3) output buffer + donation
+    # back-pressure per step for a tensor used once per video_every steps.
+    # Dump paths recompute it on demand (Trainer._dump_videos) and eval_step
+    # attaches it explicitly.
     metrics: LossMetrics = {
-        # device-resident tensor for periodic qualitative dumps; loggers skip
-        # non-scalars, so it costs nothing unless materialized
-        "reconstruction": out.reconstruction,
         "MSE": jnp.mean(mse),
         "per_sample_MAE": jnp.mean(mae),
         "perceptual_loss": jnp.mean(perceptual),

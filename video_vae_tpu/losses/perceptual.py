@@ -56,6 +56,8 @@ def make_perceptual_loss_fn(
         loss = 0.0
         for layer in PERCEPTUAL_LAYERS:
             feat = acts[layer].astype(jnp.float32)
+            if feat.ndim == 5:  # cf layout: (1, 2N, C, H, W) → (2N, C, H, W)
+                feat = feat[0]
             fx, ft = jnp.split(feat, 2, axis=0)
             loss = loss + jnp.mean(
                 jnp.square(fx - ft), axis=tuple(range(1, fx.ndim))

@@ -50,10 +50,13 @@ class VGG16Features(nnx.Module):
         rngs: nnx.Rngs,
         *,
         normalize: bool = True,
+        layout: str = "nhwc",
         dtype=jnp.bfloat16,
         param_dtype=jnp.float32,
     ):
+        assert layout in ("nhwc", "cf")
         self.normalize = normalize
+        self.layout = layout
         self.dtype = dtype
         self.convs = nnx.Dict()
         for name, cin, cout in _TRUNCATED_PLAN:
@@ -68,16 +71,23 @@ class VGG16Features(nnx.Module):
             )
 
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-        # Plain XLA NHWC convs. Routing these through the Pallas direct kernel
-        # was A/B'd ~180 ms/step SLOWER: the channels-last wrapper transposes
-        # the ~0.5 GB frame batch around every call (fwd + remat recompute +
-        # dgrad), drowning the MXU win. XLA's ~23% MFU here is layout-bound,
-        # not fixable from the conv alone.
+        # layout="nhwc": plain XLA NHWC convs. Routing these through the
+        # Pallas direct kernel via the CHANNELS-LAST wrapper was A/B'd
+        # ~180 ms/step SLOWER in round 2: that wrapper transposes the ~0.5 GB
+        # 64-channel activations around every call (fwd + remat recompute +
+        # dgrad), drowning the MXU win.
+        # layout="cf": the channels-first-NATIVE variant that note scoped —
+        # transpose ONLY the 3-channel input once at entry, then every conv
+        # (and its Pallas dgrad/wgrad) runs on the cf activations directly
+        # with zero further transposes; activations stay cf through the
+        # layout-agnostic loss reductions.
         x = x.astype(self.dtype)
         if self.normalize:
             mean = jnp.asarray(IMAGENET_MEAN, self.dtype)
             std = jnp.asarray(IMAGENET_STD, self.dtype)
             x = (x - mean) / std
+        if self.layout == "cf":
+            return self._call_cf(x)
         acts = {}
         x = jax.nn.relu(self.convs["conv1_1"](x))
         acts["relu1_1"] = x
@@ -92,15 +102,41 @@ class VGG16Features(nnx.Module):
         acts["relu2_1"] = x
         return acts
 
+    def _conv_cf(self, name: str, x5: jnp.ndarray) -> jnp.ndarray:
+        """One VGG conv on (1, N, c, H, W) through the conv3d_cf dispatch —
+        a (1,3,3) kernel makes each frame independent while the kernel's
+        temporal M-packing fills the MXU rows (f·cout) across frames."""
+        from video_vae_tpu.ops.conv3d import conv3d_cf
+
+        conv = self.convs[name]
+        kernel = conv.kernel.value.astype(self.dtype)[None]  # (1,3,3,cin,cout)
+        return conv3d_cf(x5, kernel, conv.bias.value.astype(jnp.float32))
+
+    def _call_cf(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        n, h, w, _ = x.shape
+        x5 = jnp.transpose(x, (0, 3, 1, 2))[None]  # (1, N, 3, H, W)
+        acts = {}
+        y = jax.nn.relu(self._conv_cf("conv1_1", x5))
+        acts["relu1_1"] = y
+        y = jax.nn.relu(self._conv_cf("conv1_2", y))
+        acts["relu1_2"] = y
+        y = jax.lax.reduce_window(
+            y, -jnp.inf, jax.lax.max, (1, 1, 1, 2, 2), (1, 1, 1, 2, 2), "VALID"
+        )
+        y = jax.nn.relu(self._conv_cf("conv2_1", y))
+        acts["relu2_1"] = y
+        return acts
+
 
 def load_vgg(
     weights_path: Optional[str] = None,
     *,
     normalize: bool = True,
+    layout: str = "nhwc",
     dtype=jnp.bfloat16,
 ) -> VGG16Features:
     """Build the feature extractor, optionally loading converted weights."""
-    model = VGG16Features(nnx.Rngs(0), normalize=normalize, dtype=dtype)
+    model = VGG16Features(nnx.Rngs(0), normalize=normalize, layout=layout, dtype=dtype)
     if not weights_path:
         warnings.warn(
             "Perceptual loss is using RANDOM (He-init) VGG filters — no "

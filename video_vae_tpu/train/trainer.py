@@ -35,7 +35,12 @@ from video_vae_tpu.parallel.sharding import activate_mesh, shard_process_local_b
 from video_vae_tpu.train.checkpoint import CheckpointManager, GracefulShutdown
 from video_vae_tpu.train.metrics import MetricLogger
 from video_vae_tpu.train.setup import create_optimizer, create_sharded_model
-from video_vae_tpu.train.step import build_perceptual, make_eval_step, make_train_step
+from video_vae_tpu.train.step import (
+    build_perceptual,
+    make_eval_step,
+    make_reconstruct_fn,
+    make_train_step,
+)
 
 
 def maybe_init_distributed() -> None:
@@ -116,6 +121,7 @@ class Trainer:
         self.eval_step = make_eval_step(
             cfg.loss, self.perceptual_fn, compute_dtype=model_cfg.compute_dtype()
         )
+        self.reconstruct = make_reconstruct_fn(compute_dtype=model_cfg.compute_dtype())
         self.rngs = nnx.Rngs(sampling=cfg.train.seed)
         self.global_step = 0
         self.ckpt = CheckpointManager(cfg.train.checkpoint_dir)
@@ -204,11 +210,14 @@ class Trainer:
             rate = t.initial_max_compression_rate
         return DynamicHParams.default(max_compression_rate=rate)
 
-    def _dump_videos(self, batch, metrics, tag: str, step: int) -> None:
+    def _dump_videos(self, batch, sharded, tag: str, step: int) -> None:
+        """Periodic qualitative dump. Recomputes the reconstruction with the
+        deterministic inference path on the current batch — the train step no
+        longer returns the (2b,t,H,W,3) tensor every step (it was per-step HBM
+        + donation back-pressure for a 1-in-video_every consumer)."""
         t = self.cfg.train
-        recon = metrics.get("reconstruction")
-        if recon is None:
-            return
+        with activate_mesh(self.mesh):
+            recon = self.reconstruct(self.model, sharded["video"], sharded["mask"])
         # All processes materialize (keeps collectives aligned,
         # distributed_train.py:551-557); only proc 0 writes.
         recon_np = np.asarray(jax.device_get(recon), dtype=np.float32)
@@ -255,7 +264,7 @@ class Trainer:
             if self.global_step % cfg.train.log_every == 0:
                 self.logger.log(metrics, self.global_step)
             if cfg.train.video_every and self.global_step % cfg.train.video_every == 0:
-                self._dump_videos(host_batch, metrics, f"train/epoch{epoch}", self.global_step)
+                self._dump_videos(host_batch, batch, f"train/epoch{epoch}", self.global_step)
             if (
                 cfg.train.checkpoint_every_steps
                 and self.global_step % cfg.train.checkpoint_every_steps == 0
