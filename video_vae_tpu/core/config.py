@@ -82,7 +82,9 @@ class ModelConfig:
     # the decoder exit fuses unpack+channels-last into ONE permutation of the
     # small 3-channel result. Identical math (tested); cf-only. Supersedes
     # unet_s2d_last (which packs only the top UpBlock and pays a skip pack).
-    unet_s2d_full: bool = False
+    # A/B on v5e flagship forward (bf16 norm subtract in both arms):
+    # 50.4 ms vs 52.9 ms — default ON.
+    unet_s2d_full: bool = True
 
     # RoPE (/root/reference/train/layers.py:85-102).
     rope_max_len: int = 8192

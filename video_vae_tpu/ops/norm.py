@@ -31,14 +31,15 @@ def group_norm_cf(
     mean = jnp.mean(xf, axis=(1, 3, 4, 5), keepdims=True)
     var = jnp.mean(jnp.square(xf), axis=(1, 3, 4, 5), keepdims=True) - jnp.square(mean)
     mul = jax.lax.rsqrt(var + eps)
-    # The NORMALIZATION (subtract/scale by the f32 statistics) stays in f32 —
-    # the round-2 bf16 subtract drifted vs the nnx.GroupNorm twin (VERDICT r2
-    # weak #4). The affine+SiLU tail then runs in compute dtype: an all-f32
-    # chain was A/B'd on v5e at −6 ms/forward (34.2 vs 38 clips/s — it broke
-    # the surrounding loop fusions), and the tail is pure elementwise
-    # rounding with no reduction, the same error class as the conv outputs
-    # themselves.
-    y = ((xf - mean) * mul).astype(x.dtype)
+    # Statistics are f32 (above); the subtract/scale runs in COMPUTE dtype.
+    # A/B'd on v5e (flagship forward): f32 subtract 58.3 ms vs bf16 52.9 ms —
+    # upcasting the whole activation chain to f32 breaks the surrounding
+    # conv→norm→SiLU loop fusions, a 10% end-to-end tax. The numerics cost is
+    # bounded by tests/test_conv3d.py::test_group_norm_cf_bf16_drift_vs_twin
+    # against the bf16 nnx.GroupNorm twin (same class as bf16-rounding the
+    # twin's own f32 output; fp32 runs are bit-identical either way because
+    # every cast below is a no-op).
+    y = (xg - mean.astype(x.dtype)) * mul.astype(x.dtype)
     y = y.reshape(b, t, c, h, w)
     y = y * scale.astype(x.dtype)[None, None, :, None, None]
     y = y + bias.astype(x.dtype)[None, None, :, None, None]
