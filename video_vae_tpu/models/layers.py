@@ -114,7 +114,6 @@ class PatchUnEmbedding(nnx.Module):
 
     def __call__(self, x: jnp.ndarray):
         x = self.linear(x)
-        x = self.upsample(x)
         kw = dict(
             p1=self.patch_size,
             p2=self.patch_size,
@@ -127,11 +126,30 @@ class PatchUnEmbedding(nnx.Module):
             # token patch offset p1 = q1·2+pa, p2 = q2·2+pb. The UNet's
             # s2d_full path consumes this directly — the full-resolution
             # depth-to-space never happens.
+            #
+            # The within-token channel permutation (q1 pa q2 pb c)→(c pa pb
+            # q1 q2) is FOLDED INTO the upsample Linear's output columns (a
+            # ~2 M-element weight permute, free next to the matmul), so the
+            # spatial step is a plain depth-to-space. The unfused einops form
+            # compiled to a 9-D transpose chain worth ~2.9 ms/forward
+            # (xplane r3: copy.6149 et al.).
             p = self.patch_size
+            q = p // 2
+            wu = rearrange(
+                self.upsample.kernel.value.astype(self.dtype),
+                "i (q1 pa q2 pb c) -> i (c pa pb q1 q2)",
+                q1=q, pa=2, q2=q, pb=2,
+            )
+            bu = rearrange(
+                self.upsample.bias.value.astype(self.dtype),
+                "(q1 pa q2 pb c) -> (c pa pb q1 q2)",
+                q1=q, pa=2, q2=q, pb=2,
+            )
+            x = jnp.einsum("btnd,de->btne", x, wu) + bu
             conv_features = rearrange(
                 x,
-                "b t (h w) (q1 pa q2 pb c) -> b t (c pa pb) (h q1) (w q2)",
-                h=kw["h"], w=kw["w"], q1=p // 2, pa=2, q2=p // 2, pb=2,
+                "b t (h w) (cc q1 q2) -> b t cc (h q1) (w q2)",
+                h=kw["h"], w=kw["w"], q1=q, q2=q,
             )
             # packed (c_up → c) contraction: kron with I₄ keeps each phase
             # independent, so `direct` comes out packed like the UNet output.
@@ -143,6 +161,7 @@ class PatchUnEmbedding(nnx.Module):
                 self.downsample.bias.value.astype(self.dtype), 4
             )[None, None, :, None, None]
         elif self.conv_layout == "cf":
+            x = self.upsample(x)
             # Emit channels-first features directly — the UNet's cf path then
             # has zero layout transposes anywhere. The direct reconstruction
             # applies the (c_up → c) Linear params over the cf channel axis.
@@ -162,6 +181,7 @@ class PatchUnEmbedding(nnx.Module):
                 self.downsample.kernel.value.astype(self.dtype),
             ) + self.downsample.bias.value.astype(self.dtype)[None, None, :, None, None]
         else:
+            x = self.upsample(x)
             conv_features = rearrange(
                 x, "b t (h w) (p1 p2 c) -> b t (h p1) (w p2) c", **kw
             )

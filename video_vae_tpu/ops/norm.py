@@ -11,6 +11,8 @@ Parity: /root/reference/train/unet.py:24-27 (GroupNorm(≤8 groups) + SiLU).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -27,9 +29,32 @@ def group_norm_cf(
     """x: (b, t, c, h, w); scale/bias: (c,). Returns x.dtype."""
     b, t, c, h, w = x.shape
     xg = x.reshape(b, t, num_groups, c // num_groups, h, w)
-    xf = xg.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=(1, 3, 4, 5), keepdims=True)
-    var = jnp.mean(jnp.square(xf), axis=(1, 3, 4, 5), keepdims=True) - jnp.square(mean)
+    if os.environ.get("VVT_NORM_STATS", "dtype") == "upcast":
+        # materialized f32 upcast: XLA fuses the convert INTO the producing
+        # conv, which then emits f32 at a pathological layout (xplane r3:
+        # the two 64² UNet convs ran as f32 XLA fusions at ~15% MFU plus two
+        # 0.2 ms layout copies — ~3.2 ms/forward)
+        xf = xg.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 3, 4, 5), keepdims=True)
+        var = jnp.mean(jnp.square(xf), axis=(1, 3, 4, 5), keepdims=True) - jnp.square(
+            mean
+        )
+    else:
+        # f32-ACCUMULATING reduces straight off the bf16 activations — no f32
+        # tensor exists for XLA to producer-fuse, so the conv keeps its bf16
+        # output/layout and the converts live inside convert_reduce fusions
+        # (exactly how the transformer LNs compile). Variance is TWO-PASS
+        # (center, then square): the centered f32 intermediate feeds only the
+        # reduction, so it input-fuses without materializing, and unlike
+        # E[x²]−mean² it has no cancellation blow-up when |mean| ≫ sigma
+        # (bf16 squares made that form drift 2.6 in the adversarial regime).
+        mean = jnp.mean(xg, axis=(1, 3, 4, 5), keepdims=True, dtype=jnp.float32)
+        var = jnp.mean(
+            jnp.square(xg.astype(jnp.float32) - mean),
+            axis=(1, 3, 4, 5),
+            keepdims=True,
+            dtype=jnp.float32,
+        )
     mul = jax.lax.rsqrt(var + eps)
     # Statistics are f32 (above); the subtract/scale runs in COMPUTE dtype.
     # A/B'd on v5e (flagship forward): f32 subtract 58.3 ms vs bf16 52.9 ms —
