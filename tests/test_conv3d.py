@@ -117,6 +117,21 @@ def test_pallas_kernel_interpret_matches_xla(cin, cout):
     np.testing.assert_allclose(np.asarray(out_cf), np.asarray(ref), atol=2e-3, rtol=1e-2)
 
 
+@pytest.mark.parametrize("cin,cout", [(64, 64), (128, 64)])
+def test_pallas_kernel_interpret_matches_xla_64sq(cin, cout):
+    """w = 64 support (the 64² UNet level): all lane extents stay multiples of
+    128 with th ∈ {8,16,32}; parity of the full kernel logic at the exact
+    shapes XLA had been serving as f32 channel-minor fusions (xplane r3)."""
+    ks = jax.random.split(jax.random.key(5), 3)
+    x = jax.random.normal(ks[0], (1, 2, 64, 64, cin), jnp.float32)
+    kern = jax.random.normal(ks[1], (3, 3, 3, cin, cout), jnp.float32) * 0.1
+    bias = jax.random.normal(ks[2], (cout,), jnp.float32) * 0.1
+    assert pallas_conv_supported(x.shape, kern.shape)
+    ref = _conv3d_xla(x, kern, bias)
+    out_cf = _from_cf(conv3d_cf(_to_cf(x), kern, bias, "pallas", True))
+    np.testing.assert_allclose(np.asarray(out_cf), np.asarray(ref), atol=5e-3, rtol=1e-2)
+
+
 def test_pallas_kernel_interpret_gradients():
     """custom-vjp grads through the pallas fwd equal autodiff through XLA."""
     ks = jax.random.split(jax.random.key(3), 3)

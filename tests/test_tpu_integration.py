@@ -101,6 +101,68 @@ def test_pallas_conv_suite_on_chip():
 
 
 @tpu_only
+def test_pallas_conv_64sq_on_chip():
+    """w = 64 kernel support (the 64² UNet level) on real hardware: direct,
+    cat2, fused pool, and the custom-vjp gradients at that width."""
+    from video_vae_tpu.ops.conv3d import (
+        _conv3d_xla_cf,
+        conv3d_cf,
+        conv3d_cf_cat2,
+        conv3d_cf_pooled,
+        pallas_conv_supported,
+    )
+    from video_vae_tpu.ops.norm import max_pool_2x_cf
+
+    ks = jax.random.split(jax.random.key(7), 4)
+    x = jax.random.normal(ks[0], (2, 4, 64, 64, 64), jnp.bfloat16)
+    xcf = jnp.transpose(x, (0, 1, 4, 2, 3))
+    assert pallas_conv_supported((2, 4, 64, 64, 64), (3, 3, 3, 64, 64))
+
+    def diff(a, b):
+        return float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
+
+    k33 = jax.random.normal(ks[1], (3, 3, 3, 64, 64), jnp.bfloat16) * 0.05
+    b33 = jnp.zeros((64,), jnp.float32)
+    assert diff(
+        jax.jit(lambda x: conv3d_cf(x, k33, b33, "pallas"))(xcf),
+        jax.jit(lambda x: _conv3d_xla_cf(x, k33, b33))(xcf),
+    ) < 5e-2
+    # fused pool epilogue at w=64
+    _, pooled = jax.jit(lambda x: conv3d_cf_pooled(x, k33, b33, "pallas"))(xcf)
+    ref_full = jax.jit(lambda x: _conv3d_xla_cf(x, k33, b33))(xcf)
+    assert diff(pooled, max_pool_2x_cf(ref_full)) < 5e-2
+    # two-source (the level-2 UpBlock shape that XLA served as f32 fusions)
+    x2 = jax.random.normal(ks[2], (2, 4, 64, 64, 64), jnp.bfloat16)
+    x2cf = jnp.transpose(x2, (0, 1, 4, 2, 3))
+    kc = jax.random.normal(ks[3], (3, 3, 3, 128, 64), jnp.bfloat16) * 0.05
+    assert diff(
+        jax.jit(lambda a, b: conv3d_cf_cat2(a, b, kc, b33, "pallas"))(xcf, x2cf),
+        jax.jit(
+            lambda a, b: _conv3d_xla_cf(jnp.concatenate([a, b], axis=2), kc, b33)
+        )(xcf, x2cf),
+    ) < 1e-1
+    # gradients through the custom vjp (Pallas dgrad + wgrad at w=64)
+    g_pal = jax.jit(
+        jax.grad(
+            lambda x, k: jnp.sum(conv3d_cf(x, k, b33, "pallas").astype(jnp.float32) ** 2),
+            argnums=(0, 1),
+        )
+    )(xcf, k33)
+    g_ref = jax.jit(
+        jax.grad(
+            # all-f32 reference: the bf16 XLA conv's vjp rejects the f32
+            # cotangent its own preferred_element_type=f32 produces
+            lambda x, k: jnp.sum(_conv3d_xla_cf(x, k, b33) ** 2),
+            argnums=(0, 1),
+        )
+    )(xcf.astype(jnp.float32), k33.astype(jnp.float32))
+    for a, r in zip(g_pal, g_ref):
+        scale = float(jnp.max(jnp.abs(r.astype(jnp.float32)))) + 1e-6
+        rel = float(jnp.max(jnp.abs(a.astype(jnp.float32) - r.astype(jnp.float32)))) / scale
+        assert rel < 5e-2, rel
+
+
+@tpu_only
 def test_fused_qkv_attention_on_chip():
     from video_vae_tpu.ops.flash_attention import (
         _reference_fused_chain,

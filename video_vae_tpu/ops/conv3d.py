@@ -29,6 +29,7 @@ dispatch (flipped, IO-swapped kernel) and dW runs the im2col wgrad kernel
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -140,6 +141,27 @@ def _pick_tile_h(h: int, win: int, kh: int, kw: int, w: int, stride: int) -> Opt
     return None
 
 
+def _buf_rows(th: int, kh: int, h: int, w: int) -> int:
+    """Rows the halo-window VMEM buffer holds per window frame.
+
+    At w ≥ 128 a row boundary is 128-lane-aligned, so the DMA can start at
+    the exact halo row: buffer = th + kh − 1 rows. At w = 64 a row offset is
+    only 64-lane-aligned and Mosaic rejects the slice; instead the DMA start
+    is rounded DOWN to an even row by construction (ph_dma = ph rounded up to
+    the 2-row alignment, start = clip(row0 − ph_dma, 0, h − buf_rows): every
+    term even) and the content is repaired with STATIC lane rolls per tile
+    region in the kernel."""
+    dma_rows = th + kh - 1
+    if dma_rows >= h:
+        return dma_rows  # whole-frame DMA at offset 0: always aligned
+    ralign = max(1, 128 // w)
+    if ralign == 1:
+        return dma_rows
+    ph = kh // 2
+    ph_dma = -(-ph // ralign) * ralign
+    return th + 2 * ph_dma
+
+
 def _pick_frames(t: int, kt: int, kh: int, kw: int, cout: int, h: int, w: int, stride: int):
     """Temporal M-packing factor F (+ row tile): F output frames share one matmul.
 
@@ -163,16 +185,24 @@ def pallas_conv_supported(x_shape, kernel_shape) -> bool:
     """Shapes where the direct kernel is applicable and worth it."""
     b, t, h, w, cin = x_shape
     kt, kh, kw, _, cout = kernel_shape
-    if w % 128 or h % 8 or (w & (w - 1)):  # power-of-two w: col id = iota&(w-1)
+    # w = 64 is also supported: every lane extent stays a multiple of 128
+    # (th ∈ {8,16,32} → th·64 and (th+kh−1)·64 both divide by 128) and the
+    # power-of-two column-id/roll tricks are width-agnostic. In-context this
+    # beat XLA's conv at the 64² UNet level, which compiled to f32
+    # channel-minor fusions at ~15% MFU plus layout copies (xplane r3).
+    min_w = 64 if os.environ.get("VVT_PALLAS_64", "1") == "1" else 128
+    if w % 128 and w != min_w:
+        return False
+    if h % 8 or (w & (w - 1)):  # power-of-two w: col id = iota&(w-1)
         return False
     if kh % 2 == 0 or kw % 2 == 0 or kt % 2 == 0:  # SAME halo assumes odd taps
         return False
     frames, th = _pick_frames(t, kt, kh, kw, cout, h, w, _tap_stride(cin))
     if (frames * cout) % 8:  # sublane dim of the (1, F·cout, th·w) out block
         return False
-    # small spatial extents: XLA's padded conv is fine and the per-tile
-    # overheads dominate — only take over the big-feature-map levels
-    return th is not None and h * w >= 128 * 128
+    # small spatial extents below 64²: XLA's padded conv is fine and the
+    # per-tile overheads dominate — only take over the big-feature-map levels
+    return th is not None and h * w >= min_w * min_w
 
 
 def _conv_kernel(
@@ -226,7 +256,6 @@ def _conv_kernel(
     win = frames + kt - 1
     ph, pt = kh // 2, kt // 2
     dma_rows = th + kh - 1
-    L = dma_rows * w
     rem = i % (groups * tiles_per_frame)
     b_idx = i // (groups * tiles_per_frame)
     g_idx = rem // tiles_per_frame
@@ -236,10 +265,24 @@ def _conv_kernel(
     # cin == stride here: the wrapper pads non-8-aligned channel counts
     # host-side (Mosaic requires 8-aligned sublane slice sizes in DMAs).
     whole_frame = dma_rows >= h  # single row tile: DMA the full frame
+    buf_rows = _buf_rows(th, kh, h, w)
+    L = buf_rows * w  # per-frame buffer lanes (≥ dma_rows·w in aligned mode)
+    aligned_mode = not whole_frame and buf_rows != dma_rows
     if whole_frame:
-        rs = 0
+        lane0 = 0
+    elif aligned_mode:
+        # w < 128: DMA start rounded down to a 128-lane (= ralign-row)
+        # boundary by construction — row0, ph_dma, h and buf_rows are all
+        # ralign-multiples. Content lands ph_dma−ph rows early; repaired with
+        # static rolls below. The clip runs in 128-lane block units so the
+        # offset is SYNTACTICALLY blk·128 — Mosaic's divisibility analysis
+        # cannot prove evenness through a clip of row-unit values.
+        ralign = 128 // w
+        ph_dma = (buf_rows - th) // 2
+        blk = jnp.clip((row0 - ph_dma) // ralign, 0, (h - buf_rows) // ralign)
+        lane0 = blk * 128
     else:
-        rs = jnp.clip(row0 - ph, 0, h - dma_rows)
+        lane0 = jnp.clip(row0 - ph, 0, h - dma_rows) * w
 
     f0 = g_idx * frames - pt
     copies = []
@@ -253,7 +296,7 @@ def _conv_kernel(
                 src = x_hbm.at[b_idx, jnp.clip(sf, 0, t - 1), :, :]
             else:
                 dst = in_buf.at[df, pl.ds(c_off, c_len), :]
-                src = x_hbm.at[b_idx, jnp.clip(sf, 0, t - 1), :, pl.ds(rs * w, L)]
+                src = x_hbm.at[b_idx, jnp.clip(sf, 0, t - 1), :, pl.ds(lane0, L)]
             copy = pltpu.make_async_copy(src, dst, sems.at[df, si])
             @pl.when(valid)
             def _start(copy=copy):
@@ -276,21 +319,39 @@ def _conv_kernel(
         w.bit_length() - 1
     )  # lane → row index within the window (w is a power of two)
     if not whole_frame and ph:
-        # top tile: buffer holds rows [0, dma_rows) but taps expect
-        # [row0−ph, …) — shift content down ph rows, zero the halo
+        # top tile: buffer holds rows [0, …) but taps expect [row0−ph, …)
+        # — shift content down ph rows, zero the halo. Identical in aligned
+        # mode (the top tile's DMA start clips to 0 either way).
         @pl.when(row0 == 0)
         def _top():
             rolled = pltpu.roll(in_buf[:].astype(jnp.float32), shift=ph * w, axis=2)
             in_buf[:] = jnp.where(row_ids < ph, 0.0, rolled).astype(in_buf.dtype)
 
+        # bottom tile: DMA start clipped ph rows (aligned: 2·ph_dma−ph rows)
+        # early — shift content up, zero rows past the image (SAME padding).
+        d_bot = (buf_rows - th - ph) if aligned_mode else ph  # = 2·ph_dma − ph
         @pl.when(row0 == h - th)
         def _bottom():
             rolled = pltpu.roll(
-                in_buf[:].astype(jnp.float32), shift=(-ph * w) % L, axis=2
+                in_buf[:].astype(jnp.float32), shift=(-d_bot * w) % L, axis=2
             )
             in_buf[:] = jnp.where(row_ids >= dma_rows - ph, 0.0, rolled).astype(
                 in_buf.dtype
             )
+
+        if aligned_mode and (buf_rows - th) // 2 - ph:
+            # interior tiles: content ph_dma−ph rows early, nothing to zero
+            # (the extra rows are real image rows; wrapped rows land past the
+            # dma_rows read extent)
+            d_int = (buf_rows - th) // 2 - ph
+
+            @pl.when(jnp.logical_and(row0 > 0, row0 < h - th))
+            def _interior():
+                in_buf[:] = (
+                    pltpu.roll(
+                        in_buf[:].astype(jnp.float32), shift=(-d_int * w) % L, axis=2
+                    ).astype(in_buf.dtype)
+                )
 
     # ---- K-streamed im2col + matmul --------------------------------------
     # Lane shifts are hoisted PER CHUNK (one roll+mask per dw≠0 over the
@@ -395,10 +456,14 @@ def _conv3d_pallas_cf(xq, kernel, bias, interpret=False, pool=False):
     skip concats). Every source's channel count must be 8-aligned then.
 
     pool=True additionally returns the (1,2,2)-max-pooled output, computed in
-    the kernel epilogue (returns a (full, pooled) tuple).
+    the kernel epilogue (returns a (full, pooled) tuple). At w = 64 the
+    epilogue's 4-D pooled block would have a 64-lane minor dim (an unsupported
+    Mosaic store reshape) — the pool runs in the wrapper over the full output
+    instead (one extra XLA pass over a 64²-level tensor, sub-0.1 ms).
     """
     xs = xq if isinstance(xq, (tuple, list)) else (xq,)
     b, t, _, h, w = xs[0].shape
+    kernel_pool = pool and w >= 128
     cins = [x.shape[2] for x in xs]
     cin = sum(cins)
     kt, kh, kw, _, cout = kernel.shape
@@ -440,7 +505,7 @@ def _conv3d_pallas_cf(xq, kernel, bias, interpret=False, pool=False):
     ]
     dtype = xs[0].dtype
     out_shapes = [jax.ShapeDtypeStruct((b * groups, frames * cout, h * w), dtype)]
-    if pool:
+    if kernel_pool:
         out_specs.append(
             pl.BlockSpec(
                 (1, frames * cout, th // 2, w),
@@ -456,7 +521,7 @@ def _conv3d_pallas_cf(xq, kernel, bias, interpret=False, pool=False):
             _conv_kernel,
             kt=kt, kh=kh, kw=kw, th=th, h=h, w=w, t=t,
             frames=frames, groups=groups, stride=stride, csz=csz,
-            pool=pool, src_layout=src_layout,
+            pool=kernel_pool, src_layout=src_layout,
         ),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(xs)  # manual halo DMA
@@ -464,10 +529,10 @@ def _conv3d_pallas_cf(xq, kernel, bias, interpret=False, pool=False):
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=out_specs if pool else out_specs[0],
-        out_shape=out_shapes if pool else out_shapes[0],
+        out_specs=out_specs if kernel_pool else out_specs[0],
+        out_shape=out_shapes if kernel_pool else out_shapes[0],
         scratch_shapes=[
-            pltpu.VMEM((win, stride, dma_rows * w), dtype),
+            pltpu.VMEM((win, stride, _buf_rows(th, kh, h, w) * w), dtype),
             pltpu.VMEM((csz * kh * kw * stride, th * w), dtype),
             pltpu.SemaphoreType.DMA((win, len(xs))),
         ],
@@ -478,11 +543,15 @@ def _conv3d_pallas_cf(xq, kernel, bias, interpret=False, pool=False):
         ),
         interpret=interpret,
     )(*xs, wmat, bias_col)
-    if pool:
+    if kernel_pool:
         full, vpooled = res  # rows already pooled in-kernel; columns here
         vpooled = vpooled.reshape(b, t, cout, h // 2, w)
         pooled = jnp.maximum(vpooled[..., 0::2], vpooled[..., 1::2])
         return full.reshape(b, t, cout, h, w), pooled
+    if pool:  # w = 64: pool outside the kernel (see docstring)
+        full = res.reshape(b, t, cout, h, w)
+        r = jnp.maximum(full[..., 0::2, :], full[..., 1::2, :])
+        return full, jnp.maximum(r[..., 0::2], r[..., 1::2])
     return res.reshape(b, t, cout, h, w)  # (b·groups, F·cout, h·w) is contiguous as (b,t,cout,h,w)
 
 
