@@ -556,8 +556,11 @@ def _fused_bwd_kernel(
     def ln_scale_bwd(dr, xn, r, scale_vec, dscale_ref, dst):
         """Backward through rope → scale → LN, vectorized over heads."""
         dln = rope_bwd(dr)  # d(xn·scale)
-        # dscale partial: Σ over (BB,S); H-segment fold happens host-side
-        dscale_ref[0, :] = jnp.sum(dln * xn, axis=(0, 1))
+        # dscale partial: Σ over (BB,S); H-segment fold happens host-side.
+        # The ref is (1, 1, HD): a (n_blocks, HD) layout's (1, HD) block
+        # would need an 8-divisible sublane dim, but (1, HD) blocks of a
+        # (n_blocks, 1, HD) array match the full trailing dims exactly.
+        dscale_ref[0, 0, :] = jnp.sum(dln * xn, axis=(0, 1))
         dxn = dln * scale_vec
         # LN backward per segment: dx = r·(dxn − mean(dxn) − xn·mean(dxn∘xn))
         dx = r * (dxn - seg_mean(dxn) - xn * seg_mean(dxn * xn))
@@ -585,7 +588,7 @@ def _fused_bwd_pallas(qkv, m, g, qs_tiled, ks_tiled, cos_t, sin_t, seg, *, num_h
     table_spec = pl.BlockSpec((s, hd), lambda i: (0, 0), memory_space=pltpu.VMEM)
     seg_spec = pl.BlockSpec((hd, 2 * num_heads), lambda i: (0, 0), memory_space=pltpu.VMEM)
     mask_spec = pl.BlockSpec((bb, 1, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    part_spec = pl.BlockSpec((1, hd), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    part_spec = pl.BlockSpec((1, 1, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
     dqkv, dqs_p, dks_p = pl.pallas_call(
         functools.partial(_fused_bwd_kernel, scale=1.0 / (d**0.5), num_heads=num_heads),
@@ -597,8 +600,8 @@ def _fused_bwd_pallas(qkv, m, g, qs_tiled, ks_tiled, cos_t, sin_t, seg, *, num_h
         out_specs=(qkv_spec, part_spec, part_spec),
         out_shape=(
             jax.ShapeDtypeStruct((b + pad, s, three_hd), qkv.dtype),
-            jax.ShapeDtypeStruct((n_blocks, hd), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, hd), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, 1, hd), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, 1, hd), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((bb, s, hd), jnp.float32),
@@ -608,8 +611,8 @@ def _fused_bwd_pallas(qkv, m, g, qs_tiled, ks_tiled, cos_t, sin_t, seg, *, num_h
         interpret=interpret,
     )(qkv, m, qs_tiled, ks_tiled, cos_t, sin_t, seg, g)
     # sum the per-block partials, fold the H lane segments back to (D,)
-    dqs = jnp.sum(dqs_p, axis=0).reshape(num_heads, d).sum(axis=0)
-    dks = jnp.sum(dks_p, axis=0).reshape(num_heads, d).sum(axis=0)
+    dqs = jnp.sum(dqs_p, axis=(0, 1)).reshape(num_heads, d).sum(axis=0)
+    dks = jnp.sum(dks_p, axis=(0, 1)).reshape(num_heads, d).sum(axis=0)
     return dqkv[:b], dqs, dks
 
 
