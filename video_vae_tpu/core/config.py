@@ -173,6 +173,11 @@ class LossConfig:
     # every call lost by 180 ms/step; this is the channels-first-native
     # variant models/vgg.py:71-75 scoped). "nhwc" = plain XLA convs.
     vgg_layout: str = "nhwc"
+    # Max frames per VGG pass: larger batches lax.scan over chunks, bounding
+    # the ~2 GB/64-frames of relu1_1/1_2 activations (the 64-frame curriculum
+    # bucket OOM'd v5e HBM single-pass). 32 keeps the b2x16f headline workload
+    # single-pass. 0 = never chunk.
+    perceptual_chunk_frames: int = 32
 
     def __post_init__(self):
         assert self.selection_penalty in ("square", "abs")

@@ -23,9 +23,17 @@ from video_vae_tpu.models.vgg import PERCEPTUAL_LAYERS, VGG16Features
 
 
 def make_perceptual_loss_fn(
-    vgg: VGG16Features, *, remat: bool = True
+    vgg: VGG16Features, *, remat: bool = True, chunk_frames: int = 32
 ) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
-    """Returns fn(x, target) -> (B,) per-sample loss for (B,t,h,w,c) videos."""
+    """Returns fn(x, target) -> (B,) per-sample loss for (B,t,h,w,c) videos.
+
+    ``chunk_frames`` bounds peak memory: when the flattened batch exceeds it,
+    the VGG passes run as a ``lax.scan`` over frame chunks (identical math —
+    every frame's features are independent). At the flagship 64-frame
+    curriculum bucket the single-pass variant holds ~2 GB of relu1_1/1_2
+    activations per pass and OOM'd v5e HBM by ~0.3 GB (soak probe r3);
+    chunking divides that by the chunk count. 0 disables chunking.
+    """
 
     graphdef, state = nnx.split(vgg)
 
@@ -35,6 +43,21 @@ def make_perceptual_loss_fn(
 
     if remat:
         features = jax.checkpoint(features)
+
+    def _per_frame_loss(x_flat: jnp.ndarray, tgt_flat: jnp.ndarray) -> jnp.ndarray:
+        """(N,h,w,c)×2 → (N,) per-frame perceptual loss (one VGG pass)."""
+        both = jnp.concatenate([x_flat, tgt_flat], axis=0)
+        acts = features(state, both)
+        loss = 0.0
+        for layer in PERCEPTUAL_LAYERS:
+            feat = acts[layer].astype(jnp.float32)
+            if feat.ndim == 5:  # cf layout: (1, 2N, C, H, W) → (2N, C, H, W)
+                feat = feat[0]
+            fx, ft = jnp.split(feat, 2, axis=0)
+            loss = loss + jnp.mean(
+                jnp.square(fx - ft), axis=tuple(range(1, fx.ndim))
+            )
+        return loss
 
     def perceptual_loss(
         x: jnp.ndarray, target: jnp.ndarray, rollouts: int = 1
@@ -51,17 +74,19 @@ def make_perceptual_loss_fn(
             target = repeat(target, "b ... -> (b r) ...", r=rollouts)
         x_flat = rearrange(x, "b t h w c -> (b t) h w c").astype(jnp.bfloat16)
         tgt_flat = rearrange(target, "b t h w c -> (b t) h w c").astype(jnp.bfloat16)
-        both = jnp.concatenate([x_flat, tgt_flat], axis=0)
-        acts = features(state, both)
-        loss = 0.0
-        for layer in PERCEPTUAL_LAYERS:
-            feat = acts[layer].astype(jnp.float32)
-            if feat.ndim == 5:  # cf layout: (1, 2N, C, H, W) → (2N, C, H, W)
-                feat = feat[0]
-            fx, ft = jnp.split(feat, 2, axis=0)
-            loss = loss + jnp.mean(
-                jnp.square(fx - ft), axis=tuple(range(1, fx.ndim))
-            )
+        n = x_flat.shape[0]
+        if chunk_frames and n > chunk_frames and n % chunk_frames == 0:
+            n_chunks = n // chunk_frames
+            xc = x_flat.reshape(n_chunks, chunk_frames, *x_flat.shape[1:])
+            tc = tgt_flat.reshape(n_chunks, chunk_frames, *tgt_flat.shape[1:])
+
+            def body(carry, xt):
+                return carry, _per_frame_loss(*xt)
+
+            _, losses = jax.lax.scan(body, 0.0, (xc, tc))
+            loss = losses.reshape(n)
+        else:
+            loss = _per_frame_loss(x_flat, tgt_flat)
         per_frame = rearrange(loss, "(b t) -> b t", b=br, t=t)
         return jnp.mean(per_frame, axis=-1)
 

@@ -370,8 +370,11 @@ def _fused_pallas(qkv, m, qs_tiled, ks_tiled, cos_t, sin_t, seg, *, num_heads, i
     hd = three_hd // 3
     d = hd // num_heads
     # bb=8/64 measured best end-to-end (16/128 A/B'd at -1 clips/s: bigger
-    # tiles reduce grid parallelism without improving the VPU-bound chain)
-    bb = 8 if s >= 128 else 64
+    # tiles reduce grid parallelism without improving the VPU-bound chain).
+    # Scale down between those anchors: at s=64, bb=64 blocks put ~79 MB of
+    # f32 chain temporaries on the Mosaic VMEM stack (64-frame curriculum
+    # bucket OOM'd at compile, soak probe r3) — keep bb·s ≈ 1024 rows.
+    bb = 8 if s >= 128 else max(8, 1024 // s)
     pad = (-b) % bb
     if pad:
         qkv = jnp.concatenate([qkv, jnp.zeros((pad, s, three_hd), qkv.dtype)], axis=0)
@@ -574,7 +577,7 @@ def _fused_bwd_pallas(qkv, m, g, qs_tiled, ks_tiled, cos_t, sin_t, seg, *, num_h
     b, s, three_hd = qkv.shape
     hd = three_hd // 3
     d = hd // num_heads
-    bb = 8 if s >= 128 else 64
+    bb = 8 if s >= 128 else max(8, 1024 // s)  # same rule as _fused_pallas
     pad = (-b) % bb
     if pad:
         qkv = jnp.concatenate([qkv, jnp.zeros((pad, s, three_hd), qkv.dtype)], axis=0)

@@ -132,4 +132,7 @@ def build_perceptual(loss_cfg: LossConfig, weights_path: Optional[str] = None):
         return None
     from video_vae_tpu.models.vgg import load_vgg
 
-    return make_perceptual_loss_fn(load_vgg(weights_path, layout=loss_cfg.vgg_layout))
+    return make_perceptual_loss_fn(
+        load_vgg(weights_path, layout=loss_cfg.vgg_layout),
+        chunk_frames=loss_cfg.perceptual_chunk_frames,
+    )
