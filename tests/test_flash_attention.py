@@ -91,6 +91,44 @@ def test_fused_qkv_attention_matches_module_chain(masked, interpret):
     assert float(jnp.max(jnp.abs(out - ref))) < 2e-3
 
 
+@pytest.mark.parametrize("masked", [True, False])
+@pytest.mark.parametrize("b_s", [(64, 16), (40, 16), (32, 32)])
+def test_fused_qkv_attention_packed_small_s(masked, b_s, monkeypatch):
+    """VVT_ATTN_PACKED=1: the block-diagonal all-heads-in-one-lane-block
+    variant matches the per-head kernel path at the factored temporal shapes
+    (S ∈ {16, 32}, H·S a lane multiple), including the batch-padding path."""
+    from video_vae_tpu.ops.flash_attention import fused_qkv_attention
+
+    B, S = b_s
+    H, D = 8, 64
+    qkv = jax.random.normal(jax.random.key(7), (B, S, 3 * H * D), jnp.bfloat16)
+    q_scale = 1.0 + 0.1 * jax.random.normal(jax.random.key(8), (D,))
+    k_scale = 1.0 - 0.1 * jax.random.normal(jax.random.key(9), (D,))
+    mask = None
+    if masked:
+        mask = jnp.zeros((B, 1, 1, S), bool).at[..., : S * 3 // 4].set(True)
+
+    def run():
+        return jax.jit(
+            lambda qkv, qs, ks, m: fused_qkv_attention(
+                qkv, qs, ks, m, H, 10000.0, 1.0, True
+            )
+        )(qkv, q_scale, k_scale, mask)
+
+    monkeypatch.setenv("VVT_ATTN_PACKED", "0")
+    base = run()
+    monkeypatch.setenv("VVT_ATTN_PACKED", "1")
+    packed = run()
+    ref = _module_reference(
+        qkv.astype(jnp.float32), q_scale, k_scale, mask, H
+    )
+    for out in (base, packed):
+        rel = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref))) / (
+            float(jnp.max(jnp.abs(ref))) + 1e-6
+        )
+        assert rel < 0.03, rel
+
+
 def test_fused_qkv_attention_gradients():
     from video_vae_tpu.ops.flash_attention import fused_qkv_attention
 

@@ -22,6 +22,7 @@ kernel on CPU for tests.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -231,7 +232,7 @@ _LN_EPS = 1e-6
 
 def _fused_kernel(
     qkv_ref, mask_ref, qs_ref, ks_ref, cos_ref, sin_ref, seg_ref, o_ref,
-    *, scale: float, num_heads: int,
+    *, scale: float, num_heads: int, packed: bool = False,
 ):
     """Block = a batch tile of the FULL fused (BB, S, 3·H·D) projection output
     (full-lane blocks — per-head 64-lane blocks violate the 128-lane tiling on
@@ -286,6 +287,74 @@ def _fused_kernel(
 
     qn = norm_rope(qkv_ref[:, :, :hd], qs_ref[:].astype(jnp.float32))
     kn = norm_rope(qkv_ref[:, :, hd : 2 * hd], ks_ref[:].astype(jnp.float32))
+
+    if packed:
+        # Small-S packed path: ONE (BB, S, H·S) score block for all heads.
+        # At the temporal shape (S=16) the per-head loop's scores use 16 of
+        # 128 lanes and run H separate softmax chains; here the heads pack
+        # the lane dim to full width via BLOCK-DIAGONAL contraction — the
+        # sublane-tiled K/V copies are masked so each H·S lane segment only
+        # contracts its own head's D-lane segment (zero lanes add exact
+        # zeros in the f32 accumulator, so numerics match the per-head dot).
+        seq = o_ref.shape[1]
+        L = num_heads * seq  # lane dim of the packed scores; mask_ref is
+        # pre-tiled to (BB, 1, L) by the wrapper
+        v_all = qkv_ref[:, :, 2 * hd :]
+        # head-of-row (sublane, H·S) vs head-of-lane (HD) block mask
+        bm = (
+            jax.lax.broadcasted_iota(jnp.int32, (L, hd), 0) // seq
+            == jax.lax.broadcasted_iota(jnp.int32, (L, hd), 1) // d
+        )
+        k_t = jnp.concatenate([kn] * num_heads, axis=1)  # (BB, H·S, HD) f32
+        k_mat = jnp.where(bm[None], k_t, 0.0)
+        v_t = jnp.concatenate([v_all] * num_heads, axis=1)
+        v_mat = jnp.where(bm[None], v_t, jnp.zeros((), v_all.dtype))
+        s_all = jax.lax.dot_general(  # (BB, S, H·S)
+            qn, k_mat, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        s_all = s_all * scale
+        s_all = jnp.where(mask > 0, s_all, _NEG_INF)
+        # segmented (per-head) max over S-lane segments: suffix max-scan then
+        # prefix broadcast, log2(S) masked rolls each
+        phase = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2) % seq
+        m_seg = s_all
+        step = 1
+        while step < seq:
+            rolled = pltpu.roll(m_seg, shift=L - step, axis=2)
+            m_seg = jnp.where(phase < seq - step, jnp.maximum(m_seg, rolled), m_seg)
+            step *= 2
+        step = 1
+        while step < seq:
+            rolled = pltpu.roll(m_seg, shift=step, axis=2)
+            m_seg = jnp.where(phase >= step, jnp.maximum(m_seg, rolled), m_seg)
+            step *= 2
+        p = jnp.exp(s_all - m_seg)
+        # per-head denominator via the segment matmul (lane dim stays ≥ 2H)
+        seg_rows = (
+            jax.lax.broadcasted_iota(jnp.int32, (L, 2 * num_heads), 0) // seq
+            == jax.lax.broadcasted_iota(jnp.int32, (L, 2 * num_heads), 1)
+        ).astype(jnp.float32)
+        sums = jax.lax.dot_general(  # (BB, S, 2H)
+            p, seg_rows, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        seg_back = (
+            jax.lax.broadcasted_iota(jnp.int32, (num_heads, L), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (num_heads, L), 1) // seq
+        ).astype(jnp.float32)
+        l_b = jax.lax.dot_general(  # broadcast back: (BB, S, H·S)
+            sums[:, :, :num_heads], seg_back, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        p = (p / l_b).astype(v_all.dtype)
+        o = jax.lax.dot_general(  # (BB, S, HD)
+            p, v_mat, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:] = o.astype(o_ref.dtype)
+        return
+
     for h in range(num_heads):
         q = qn[:, :, h * d : (h + 1) * d]
         k = kn[:, :, h * d : (h + 1) * d]
@@ -374,20 +443,33 @@ def _fused_pallas(qkv, m, qs_tiled, ks_tiled, cos_t, sin_t, seg, *, num_heads, i
     # Scale down between those anchors: at s=64, bb=64 blocks put ~79 MB of
     # f32 chain temporaries on the Mosaic VMEM stack (64-frame curriculum
     # bucket OOM'd at compile, soak probe r3) — keep bb·s ≈ 1024 rows.
-    bb = 8 if s >= 128 else max(8, 1024 // s)
+    # Packed small-S path (VVT_ATTN_PACKED=1): all heads' scores in one
+    # full-lane (S, H·S) block — see _fused_kernel. Smaller batch tiles keep
+    # the block-diagonal K/V copies (bb·H·S·HD f32) on the VMEM stack.
+    packed = (
+        s < 128
+        and (s * num_heads) % 128 == 0
+        and os.environ.get("VVT_ATTN_PACKED", "0") == "1"
+    )
+    bb = 8 if s >= 128 else max(8, (512 if packed else 1024) // s)
     pad = (-b) % bb
     if pad:
         qkv = jnp.concatenate([qkv, jnp.zeros((pad, s, three_hd), qkv.dtype)], axis=0)
         m = jnp.concatenate([m, jnp.ones((pad, 1, s), jnp.int32)], axis=0)
+    if packed:
+        m = jnp.tile(m, (1, 1, num_heads))  # (B, 1, H·S): per-head key mask
+    s_m = s * num_heads if packed else s
 
     qkv_spec = pl.BlockSpec((bb, s, three_hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     scale_spec = pl.BlockSpec((1, hd), lambda i: (0, 0), memory_space=pltpu.VMEM)
     table_spec = pl.BlockSpec((s, hd), lambda i: (0, 0), memory_space=pltpu.VMEM)
     seg_spec = pl.BlockSpec((hd, 2 * num_heads), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    mask_spec = pl.BlockSpec((bb, 1, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((bb, 1, s_m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        functools.partial(_fused_kernel, scale=1.0 / (d**0.5), num_heads=num_heads),
+        functools.partial(
+            _fused_kernel, scale=1.0 / (d**0.5), num_heads=num_heads, packed=packed
+        ),
         grid=((b + pad) // bb,),
         in_specs=[
             qkv_spec,
