@@ -129,6 +129,44 @@ def test_fused_qkv_attention_packed_small_s(masked, b_s, monkeypatch):
         assert rel < 0.03, rel
 
 
+def test_fused_qkv_attention_packed_gradients(monkeypatch):
+    """Packed-path backward (one block-diagonal recompute chain for all
+    heads) matches the reference-chain vjp at the temporal shape."""
+    from video_vae_tpu.ops.flash_attention import (
+        _reference_fused_chain,
+        fused_qkv_attention,
+    )
+    from video_vae_tpu.ops.rope import rope_tables
+
+    monkeypatch.setenv("VVT_ATTN_PACKED", "1")
+    B, S, H, D = 40, 16, 8, 64  # B=40: exercises the batch-padding path
+    qkv = jax.random.normal(jax.random.key(11), (B, S, 3 * H * D), jnp.bfloat16)
+    q_scale = jnp.ones((D,)) * 1.1
+    k_scale = jnp.ones((D,)) * 0.9
+    mask = jnp.zeros((B, 1, 1, S), bool).at[..., : S * 3 // 4].set(True)
+    g = jax.random.normal(jax.random.key(12), (B, S, H * D), jnp.bfloat16)
+    cos, sin = rope_tables(S, D, 10000.0, 1.0)
+
+    @jax.jit
+    def run(qkv, qs, ks, g):
+        _, vjp = jax.vjp(
+            lambda a, b, c: fused_qkv_attention(a, b, c, mask, H, 10000.0, 1.0, True),
+            qkv, qs, ks,
+        )
+        _, ref_vjp = jax.vjp(
+            lambda a, b, c: _reference_fused_chain(a, b, c, mask, H, cos, sin),
+            qkv, qs, ks,
+        )
+        return vjp(g), ref_vjp(g)
+
+    ours, ref = run(qkv, q_scale, k_scale, g)
+    for a, b in zip(ours, ref):
+        af, bf = a.astype(jnp.float32), b.astype(jnp.float32)
+        assert not bool(jnp.any(~jnp.isfinite(af)))
+        rel = float(jnp.max(jnp.abs(af - bf))) / (float(jnp.max(jnp.abs(bf))) + 1e-9)
+        assert rel < 0.05, rel
+
+
 def test_fused_qkv_attention_gradients():
     from video_vae_tpu.ops.flash_attention import fused_qkv_attention
 

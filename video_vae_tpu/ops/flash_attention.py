@@ -230,6 +230,47 @@ flash_attention.defvjp(
 _LN_EPS = 1e-6
 
 
+def _seg_max_lanes(x, seq):
+    """Per-segment max over SEQ-lane segments of the last dim, broadcast back
+    to every lane: a suffix max-scan then a prefix max-scan, log2(seq) masked
+    rolls each (packed small-S path; see _fused_kernel)."""
+    L = x.shape[-1]
+    phase = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2) % seq
+    step = 1
+    while step < seq:
+        rolled = pltpu.roll(x, shift=L - step, axis=2)
+        x = jnp.where(phase < seq - step, jnp.maximum(x, rolled), x)
+        step *= 2
+    step = 1
+    while step < seq:
+        rolled = pltpu.roll(x, shift=step, axis=2)
+        x = jnp.where(phase >= step, jnp.maximum(x, rolled), x)
+        step *= 2
+    return x
+
+
+def _seg_sum_bcast(x, seq, num_heads):
+    """Per-segment sum over SEQ-lane segments, broadcast back to every lane,
+    via two matmuls against 0/1 segment matrices (lane dim of the intermediate
+    stays ≥ 2·H for the 128-lane tiling)."""
+    L = x.shape[-1]
+    seg_rows = (
+        jax.lax.broadcasted_iota(jnp.int32, (L, 2 * num_heads), 0) // seq
+        == jax.lax.broadcasted_iota(jnp.int32, (L, 2 * num_heads), 1)
+    ).astype(jnp.float32)
+    sums = jax.lax.dot_general(
+        x, seg_rows, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    seg_back = (
+        jax.lax.broadcasted_iota(jnp.int32, (num_heads, L), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (num_heads, L), 1) // seq
+    ).astype(jnp.float32)
+    return jax.lax.dot_general(
+        sums[:, :, :num_heads], seg_back, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _fused_kernel(
     qkv_ref, mask_ref, qs_ref, ks_ref, cos_ref, sin_ref, seg_ref, o_ref,
     *, scale: float, num_heads: int, packed: bool = False,
@@ -315,38 +356,9 @@ def _fused_kernel(
         )
         s_all = s_all * scale
         s_all = jnp.where(mask > 0, s_all, _NEG_INF)
-        # segmented (per-head) max over S-lane segments: suffix max-scan then
-        # prefix broadcast, log2(S) masked rolls each
-        phase = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2) % seq
-        m_seg = s_all
-        step = 1
-        while step < seq:
-            rolled = pltpu.roll(m_seg, shift=L - step, axis=2)
-            m_seg = jnp.where(phase < seq - step, jnp.maximum(m_seg, rolled), m_seg)
-            step *= 2
-        step = 1
-        while step < seq:
-            rolled = pltpu.roll(m_seg, shift=step, axis=2)
-            m_seg = jnp.where(phase >= step, jnp.maximum(m_seg, rolled), m_seg)
-            step *= 2
+        m_seg = _seg_max_lanes(s_all, seq)
         p = jnp.exp(s_all - m_seg)
-        # per-head denominator via the segment matmul (lane dim stays ≥ 2H)
-        seg_rows = (
-            jax.lax.broadcasted_iota(jnp.int32, (L, 2 * num_heads), 0) // seq
-            == jax.lax.broadcasted_iota(jnp.int32, (L, 2 * num_heads), 1)
-        ).astype(jnp.float32)
-        sums = jax.lax.dot_general(  # (BB, S, 2H)
-            p, seg_rows, (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        seg_back = (
-            jax.lax.broadcasted_iota(jnp.int32, (num_heads, L), 0)
-            == jax.lax.broadcasted_iota(jnp.int32, (num_heads, L), 1) // seq
-        ).astype(jnp.float32)
-        l_b = jax.lax.dot_general(  # broadcast back: (BB, S, H·S)
-            sums[:, :, :num_heads], seg_back, (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        l_b = _seg_sum_bcast(p, seq, num_heads)
         p = (p / l_b).astype(v_all.dtype)
         o = jax.lax.dot_general(  # (BB, S, HD)
             p, v_mat, (((2,), (1,)), ((0,), (0,))),
@@ -550,7 +562,7 @@ def _fused_fwd(qkv, q_scale, k_scale, mask, num_heads, rope_base, rope_alpha, in
 def _fused_bwd_kernel(
     qkv_ref, mask_ref, qs_ref, ks_ref, cos_ref, sin_ref, seg_ref, g_ref,
     dqkv_ref, dqs_ref, dks_ref, dqr_buf, dkr_buf,
-    *, scale: float, num_heads: int,
+    *, scale: float, num_heads: int, packed: bool = False,
 ):
     """Fused backward: recompute the LN+RoPE+softmax chain in VMEM (flash-style
     remat), then emit dqkv in ONE kernel — the round-2 backward re-ran the
@@ -610,7 +622,55 @@ def _fused_bwd_kernel(
     kr = rope_fwd(xn_k * ks)
 
     do = g_ref[:].astype(jnp.float32)
-    for h in range(num_heads):
+    if packed:
+        # Packed small-S path (mirrors _fused_kernel): one (BB, S, H·S)
+        # score/probability block for all heads via block-diagonal K/V, one
+        # segmented-softmax recompute, 6 full-lane MXU dots total instead of
+        # 5 × H narrow ones. dv/dkr come out sublane-tiled (BB, H·S, HD);
+        # the block mask + an H-way sublane-slice fold recover (BB, S, HD).
+        seq = g_ref.shape[1]
+        L = num_heads * seq  # mask_ref is pre-tiled to (BB, 1, L)
+        v_all = qkv_ref[:, :, 2 * hd :].astype(jnp.float32)
+        bm = (
+            jax.lax.broadcasted_iota(jnp.int32, (L, hd), 0) // seq
+            == jax.lax.broadcasted_iota(jnp.int32, (L, hd), 1) // d
+        )[None]
+        k_mat = jnp.where(bm, jnp.concatenate([kr] * num_heads, axis=1), 0.0)
+        v_mat = jnp.where(bm, jnp.concatenate([v_all] * num_heads, axis=1), 0.0)
+
+        def fold(x_pack):  # (BB, H·S, HD) block-diag → (BB, S, HD)
+            x_sel = jnp.where(bm, x_pack, 0.0)
+            out = x_sel[:, :seq, :]
+            for h in range(1, num_heads):
+                out = out + x_sel[:, h * seq : (h + 1) * seq, :]
+            return out
+
+        s_all = jax.lax.dot_general(
+            qr, k_mat, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s_all = jnp.where(mask > 0, s_all, _NEG_INF)
+        p = jnp.exp(s_all - _seg_max_lanes(s_all, seq))
+        p = p / _seg_sum_bcast(p, seq, num_heads)
+        dv = fold(jax.lax.dot_general(
+            p, do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ))
+        dqkv_ref[:, :, 2 * hd :] = dv.astype(dqkv_ref.dtype)
+        dp = jax.lax.dot_general(
+            do, v_mat, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        row = _seg_sum_bcast(p * dp, seq, num_heads)
+        ds = p * (dp - row) * scale
+        dqr_buf[:] = jax.lax.dot_general(
+            ds, k_mat, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dkr_buf[:] = fold(jax.lax.dot_general(
+            ds, qr, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ))
+
+    for h in range(0 if packed else num_heads):
         sl = slice(h * d, (h + 1) * d)
         qh, kh = qr[:, :, sl], kr[:, :, sl]
         vh = qkv_ref[:, :, 2 * hd + h * d : 2 * hd + (h + 1) * d].astype(jnp.float32)
@@ -659,12 +719,20 @@ def _fused_bwd_pallas(qkv, m, g, qs_tiled, ks_tiled, cos_t, sin_t, seg, *, num_h
     b, s, three_hd = qkv.shape
     hd = three_hd // 3
     d = hd // num_heads
-    bb = 8 if s >= 128 else max(8, 1024 // s)  # same rule as _fused_pallas
+    packed = (
+        s < 128
+        and (s * num_heads) % 128 == 0
+        and os.environ.get("VVT_ATTN_PACKED", "0") == "1"
+    )
+    bb = 8 if s >= 128 else max(8, (512 if packed else 1024) // s)
     pad = (-b) % bb
     if pad:
         qkv = jnp.concatenate([qkv, jnp.zeros((pad, s, three_hd), qkv.dtype)], axis=0)
         m = jnp.concatenate([m, jnp.ones((pad, 1, s), jnp.int32)], axis=0)
         g = jnp.concatenate([g, jnp.zeros((pad, s, hd), g.dtype)], axis=0)
+    if packed:
+        m = jnp.tile(m, (1, 1, num_heads))
+    s_m = s * num_heads if packed else s
     n_blocks = (b + pad) // bb
 
     qkv_spec = pl.BlockSpec((bb, s, three_hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -672,11 +740,14 @@ def _fused_bwd_pallas(qkv, m, g, qs_tiled, ks_tiled, cos_t, sin_t, seg, *, num_h
     scale_spec = pl.BlockSpec((1, hd), lambda i: (0, 0), memory_space=pltpu.VMEM)
     table_spec = pl.BlockSpec((s, hd), lambda i: (0, 0), memory_space=pltpu.VMEM)
     seg_spec = pl.BlockSpec((hd, 2 * num_heads), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    mask_spec = pl.BlockSpec((bb, 1, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((bb, 1, s_m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     part_spec = pl.BlockSpec((1, 1, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
     dqkv, dqs_p, dks_p = pl.pallas_call(
-        functools.partial(_fused_bwd_kernel, scale=1.0 / (d**0.5), num_heads=num_heads),
+        functools.partial(
+            _fused_bwd_kernel, scale=1.0 / (d**0.5), num_heads=num_heads,
+            packed=packed,
+        ),
         grid=(n_blocks,),
         in_specs=[
             qkv_spec, mask_spec, scale_spec, scale_spec,
