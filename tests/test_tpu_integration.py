@@ -189,6 +189,46 @@ def test_fused_qkv_attention_on_chip():
 
 
 @tpu_only
+def test_fused_qkv_attention_packed_on_chip(monkeypatch):
+    """Tier-3: the packed small-S variant (VVT_ATTN_PACKED=1) — forward and
+    backward — lowers through Mosaic and matches the reference chain at the
+    temporal shapes (S ∈ {16, 32}, incl. a batch-padding case)."""
+    from video_vae_tpu.ops.flash_attention import (
+        _reference_fused_chain,
+        fused_qkv_attention,
+    )
+    from video_vae_tpu.ops.rope import rope_tables
+
+    monkeypatch.setenv("VVT_ATTN_PACKED", "1")
+    for b, s, h, d in [(256, 16, 8, 64), (40, 16, 8, 64), (128, 32, 8, 64)]:
+        qkv = jax.random.normal(jax.random.key(0), (b, s, 3 * h * d), jnp.bfloat16)
+        qs = jax.random.normal(jax.random.key(1), (d,), jnp.float32) * 0.3 + 1.0
+        ks_ = jax.random.normal(jax.random.key(2), (d,), jnp.float32) * 0.3 + 1.0
+        mask = jax.random.uniform(jax.random.key(3), (b, 1, 1, s)) > 0.2
+        mask = mask.at[:, :, :, 0].set(True)
+        cos, sin = rope_tables(s, d, 10000.0, 1.0)
+
+        def loss_fused(q, a, c):
+            return jnp.sum(
+                fused_qkv_attention(q, a, c, mask, h).astype(jnp.float32) ** 2
+            )
+
+        def loss_ref(q, a, c):
+            return jnp.sum(
+                _reference_fused_chain(q, a, c, mask, h, cos, sin).astype(jnp.float32)
+                ** 2
+            )
+
+        vf, gf = jax.jit(jax.value_and_grad(loss_fused, argnums=(0, 1, 2)))(qkv, qs, ks_)
+        vr, gr = jax.jit(jax.value_and_grad(loss_ref, argnums=(0, 1, 2)))(qkv, qs, ks_)
+        assert abs(float(vf) - float(vr)) / (abs(float(vr)) + 1e-6) < 2e-2
+        for a, r in zip(gf, gr):
+            scale = float(jnp.max(jnp.abs(r)).astype(jnp.float32)) + 1e-6
+            rel = float(jnp.max(jnp.abs(a.astype(jnp.float32) - r.astype(jnp.float32)))) / scale
+            assert rel < 5e-2, (b, s, rel)
+
+
+@tpu_only
 def test_train_step_on_chip():
     from video_vae_tpu.core.config import DynamicHParams, tiny_config
     from video_vae_tpu.models.vae import VideoVAE
