@@ -129,6 +129,40 @@ def test_fused_qkv_attention_packed_small_s(masked, b_s, monkeypatch):
         assert rel < 0.03, rel
 
 
+def test_fused_qkv_attention_degenerate_tokens_finite():
+    """Constant-ish tokens (|mean| ≫ sigma, e.g. zero/padded frames or the
+    fill token) make the q/k-LN E[x²]−mean² variance go NEGATIVE under f32
+    cancellation; unclamped, rsqrt(var+eps) was NaN (root cause of the r3
+    remat NaN-grads bisect). Both the kernel and the reference chain must
+    clamp like flax (nnx/nn/normalization.py:122)."""
+    from video_vae_tpu.ops.flash_attention import (
+        _reference_fused_chain,
+        fused_qkv_attention,
+    )
+    from video_vae_tpu.ops.rope import rope_tables
+
+    B, S, H, D = 8, 16, 8, 64
+    noise = jax.random.normal(jax.random.key(5), (B, S, 3 * H * D), jnp.float32)
+    qkv = (1000.0 + 1e-3 * noise).astype(jnp.float32)  # var ~1e-6, mean² ~1e6
+    qs = jnp.ones((D,))
+    ks = jnp.ones((D,))
+    cos, sin = rope_tables(S, D, 10000.0, 1.0)
+
+    for fn in (
+        lambda a, b, c: fused_qkv_attention(a, b, c, None, H, 10000.0, 1.0, True),
+        lambda a, b, c: _reference_fused_chain(a, b, c, None, H, cos, sin),
+    ):
+        out, grads = jax.jit(
+            jax.value_and_grad(
+                lambda a, b, c: jnp.sum(fn(a, b, c).astype(jnp.float32) ** 2),
+                argnums=(0, 1, 2),
+            )
+        )(qkv, qs, ks)
+        assert bool(jnp.isfinite(out)), out
+        for g in grads:
+            assert not bool(jnp.any(~jnp.isfinite(g.astype(jnp.float32))))
+
+
 def test_fused_qkv_attention_packed_gradients(monkeypatch):
     """Packed-path backward (one block-diagonal recompute chain for all
     heads) matches the reference-chain vjp at the temporal shape."""

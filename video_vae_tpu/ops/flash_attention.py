@@ -318,7 +318,13 @@ def _fused_kernel(
             sqs[:, :, : num_heads], segT,
             (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         ) * (1.0 / d)
-        var = meansq - jnp.square(mean)
+        # E[x²]−mean² can go (slightly) NEGATIVE from f32 cancellation when
+        # |mean| ≫ sigma (constant-ish tokens: zero/padded frames, fill
+        # token); unclamped, rsqrt(var+eps) is NaN once var < −eps. flax
+        # clamps the same form (nnx/nn/normalization.py:122) — match it.
+        # Root cause of the remat NaN-grads bisect (r3): the remat-recompute
+        # fused this chain differently, flipping borderline variances.
+        var = jnp.maximum(meansq - jnp.square(mean), 0.0)
         xn = (x - mean) * jax.lax.rsqrt(var + _LN_EPS) * scale_vec
         # rotate_half within each D-lane segment
         fwd = pltpu.roll(xn, shift=hd - d // 2, axis=2)  # lane j ← xn[j + d/2]
@@ -402,7 +408,11 @@ def _reference_fused_chain(qkv, q_scale, k_scale, mask, num_heads, cos, sin):
     def ln(x, scale):
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mean)
+        # clamped like flax (normalization.py:122): cancellation can make
+        # this negative on constant-ish tokens → rsqrt NaN (remat bisect r3)
+        var = jnp.maximum(
+            jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mean), 0.0
+        )
         return (xf - mean) * jax.lax.rsqrt(var + _LN_EPS) * scale.astype(jnp.float32)
 
     def rope(x):
@@ -596,7 +606,8 @@ def _fused_bwd_kernel(
     def ln_norm(x):  # (xn, r): normalized-unscaled activations + rsqrt factor
         mean = seg_mean(x)
         meansq = seg_mean(jnp.square(x))
-        var = meansq - jnp.square(mean)
+        # clamp like flax — see norm_rope in _fused_kernel (remat NaN r3)
+        var = jnp.maximum(meansq - jnp.square(mean), 0.0)
         r = jax.lax.rsqrt(var + _LN_EPS)
         return (x - mean) * r, r
 

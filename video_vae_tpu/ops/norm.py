@@ -36,8 +36,11 @@ def group_norm_cf(
         # 0.2 ms layout copies — ~3.2 ms/forward)
         xf = xg.astype(jnp.float32)
         mean = jnp.mean(xf, axis=(1, 3, 4, 5), keepdims=True)
-        var = jnp.mean(jnp.square(xf), axis=(1, 3, 4, 5), keepdims=True) - jnp.square(
-            mean
+        var = jnp.maximum(  # clamp: cancellation can go negative (flax does
+            # the same for this form, normalization.py:122)
+            jnp.mean(jnp.square(xf), axis=(1, 3, 4, 5), keepdims=True)
+            - jnp.square(mean),
+            0.0,
         )
     else:
         # f32-ACCUMULATING reduces straight off the bf16 activations — no f32
