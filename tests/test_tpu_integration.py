@@ -250,6 +250,41 @@ def test_train_step_on_chip():
 
 
 @tpu_only
+def test_flagship_remat_grads_finite_on_chip():
+    """Tier-3: flagship-config remat train objective produces finite grads on
+    RANDOM video (VERDICT r3: the earlier NaN finding was a zeros-input probe
+    artifact — LN backward amplification on constant tokens, reproduced in
+    the reference model too; see PERF.md)."""
+    from video_vae_tpu.core.config import DynamicHParams, LossConfig, ModelConfig
+    from video_vae_tpu.losses.losses import vae_loss
+    from video_vae_tpu.models.vae import VideoVAE
+    from video_vae_tpu.train.step import build_perceptual
+
+    loss_cfg = LossConfig()
+    perc = build_perceptual(loss_cfg, None)
+    cfg = ModelConfig(remat=True)
+    model = VideoVAE(cfg, nnx.Rngs(0, sampling=1))
+    video = jax.random.uniform(jax.random.key(3), (1, 16, 256, 256, 3))
+    mask = jnp.ones((1, 16), jnp.float32)
+    hp = DynamicHParams.default()
+
+    @nnx.jit
+    def gradstep(model, video, mask, rngs, hp):
+        def loss_for_grad(model, rngs):
+            out = model(video.astype(jnp.bfloat16), mask, rngs, train=True)
+            loss, _ = vae_loss(out, video.astype(jnp.bfloat16), mask, hp, loss_cfg, perc)
+            return loss
+        loss, grads = nnx.value_and_grad(loss_for_grad)(model, rngs)
+        flat = jax.tree_util.tree_leaves(grads)
+        bad = sum(jnp.sum(~jnp.isfinite(g.astype(jnp.float32))) for g in flat)
+        return loss, bad
+
+    loss, bad = gradstep(model, video, mask, nnx.Rngs(sampling=42), hp)
+    assert bool(jnp.isfinite(loss))
+    assert int(bad) == 0, int(bad)
+
+
+@tpu_only
 def test_fused_attention_bwd_on_chip():
     """Tier-3: the fused Pallas backward kernel vs jax.vjp over the reference
     chain, at both factored shapes (VERDICT r2 next #5)."""
