@@ -142,7 +142,8 @@ def test_pallas_conv_shard_map_matches_single_device():
     """conv3d_cf impl='pallas' (interpret) under a data=2 mesh: shard_mapped
     forward and gradients (incl. the psum'd Pallas wgrad) must equal the
     no-mesh run."""
-    from video_vae_tpu.ops.conv3d import clear_dispatch_log, conv3d_cf, dispatch_log
+    from video_vae_tpu.ops.conv3d import conv3d_cf
+    from video_vae_tpu.parallel.sharding import clear_dispatch_log, dispatch_log
 
     mesh = build_mesh(2, 1, 1, devices=jax.devices()[:2])
     x, kern, bias = _pallas_conv_shapes()
@@ -168,7 +169,8 @@ def test_pallas_conv_shard_map_matches_single_device():
 def test_pallas_conv_indivisible_batch_falls_back_to_xla():
     """batch=3 on a data=2 mesh can't be shard_mapped — the dispatch must
     route to XLA (GSPMD-native), not risk a replicated custom-call."""
-    from video_vae_tpu.ops.conv3d import clear_dispatch_log, conv3d_cf, dispatch_log
+    from video_vae_tpu.ops.conv3d import conv3d_cf
+    from video_vae_tpu.parallel.sharding import clear_dispatch_log, dispatch_log
 
     mesh = build_mesh(2, 1, 1, devices=jax.devices()[:2])
     x, kern, bias = _pallas_conv_shapes()
@@ -205,7 +207,7 @@ def test_pallas_conv_mesh_hlo_has_no_allgather():
 def test_fused_attention_shard_map_matches_single_device():
     """fused_qkv_attention (interpret) under a data=2 mesh ≡ no-mesh, forward
     and gradients (the bwd is the XLA chain — GSPMD handles it natively)."""
-    from video_vae_tpu.ops.conv3d import clear_dispatch_log, dispatch_log
+    from video_vae_tpu.parallel.sharding import clear_dispatch_log, dispatch_log
     from video_vae_tpu.ops.flash_attention import fused_qkv_attention
 
     mesh = build_mesh(2, 1, 1, devices=jax.devices()[:2])

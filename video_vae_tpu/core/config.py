@@ -175,8 +175,9 @@ class LossConfig:
     vgg_layout: str = "nhwc"
     # Max frames per VGG pass: larger batches lax.scan over chunks, bounding
     # the ~2 GB/64-frames of relu1_1/1_2 activations (the 64-frame curriculum
-    # bucket OOM'd v5e HBM single-pass). 32 keeps the b2x16f headline workload
-    # single-pass. 0 = never chunk.
+    # bucket OOM'd v5e HBM single-pass). 32 keeps the b1x16f train-step
+    # workload (n = 2 rollouts x 16f) single-pass; larger buckets ceil-split,
+    # padding the last chunk. 0 = never chunk.
     perceptual_chunk_frames: int = 32
 
     def __post_init__(self):

@@ -75,8 +75,19 @@ def make_perceptual_loss_fn(
         x_flat = rearrange(x, "b t h w c -> (b t) h w c").astype(jnp.bfloat16)
         tgt_flat = rearrange(target, "b t h w c -> (b t) h w c").astype(jnp.bfloat16)
         n = x_flat.shape[0]
-        if chunk_frames and n > chunk_frames and n % chunk_frames == 0:
-            n_chunks = n // chunk_frames
+        if chunk_frames and n > chunk_frames:
+            # ceil-split: pad to a chunk multiple so the memory bound holds
+            # for EVERY n (an exact-divisor gate silently fell back to the
+            # single pass — the OOM case this chunking exists for)
+            pad = (-n) % chunk_frames
+            if pad:
+                x_flat = jnp.concatenate(
+                    [x_flat, jnp.zeros((pad, *x_flat.shape[1:]), x_flat.dtype)]
+                )
+                tgt_flat = jnp.concatenate(
+                    [tgt_flat, jnp.zeros((pad, *tgt_flat.shape[1:]), tgt_flat.dtype)]
+                )
+            n_chunks = (n + pad) // chunk_frames
             xc = x_flat.reshape(n_chunks, chunk_frames, *x_flat.shape[1:])
             tc = tgt_flat.reshape(n_chunks, chunk_frames, *tgt_flat.shape[1:])
 
@@ -84,7 +95,7 @@ def make_perceptual_loss_fn(
                 return carry, _per_frame_loss(*xt)
 
             _, losses = jax.lax.scan(body, 0.0, (xc, tc))
-            loss = losses.reshape(n)
+            loss = losses.reshape(n + pad)[:n]
         else:
             loss = _per_frame_loss(x_flat, tgt_flat)
         per_frame = rearrange(loss, "(b t) -> b t", b=br, t=t)

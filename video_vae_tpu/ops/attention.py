@@ -38,10 +38,14 @@ def masked_attention(
     mask: bool, broadcastable to (batch, heads, q_seq, kv_seq); True = attend.
     """
     if impl == "pallas" and _on_tpu():
-        from video_vae_tpu.ops.conv3d import _log_dispatch, _mesh_info, _shard_map
+        from video_vae_tpu.parallel.sharding import (
+            log_dispatch as _log_dispatch,
+            mesh_info as _mesh_info,
+            shard_map_unchecked as _shard_map,
+        )
         from video_vae_tpu.ops.flash_attention import flash_attention
 
-        mesh, axes = _mesh_info(q.shape[0])
+        mesh, axes = _mesh_info(q.shape[0], tensor_safe=False)
         if mesh is not None and axes is None:
             # sharded mesh the kernel can't be batch-mapped onto — XLA's
             # attention is GSPMD-native, so it is the safe path

@@ -55,57 +55,14 @@ def _tap_stride(cin: int) -> int:
 # XLA (which GSPMD partitions natively) instead of risking the all-gather.
 # ---------------------------------------------------------------------------
 
-_dispatch_log: list = []
-
-
-def dispatch_log() -> tuple:
-    """Trace-time record of (op, impl, sharding) dispatch decisions — lets the
-    multichip dryrun assert which backend actually ran under the mesh."""
-    return tuple(_dispatch_log)
-
-
-def clear_dispatch_log() -> None:
-    _dispatch_log.clear()
-
-
-def _log_dispatch(op: str, impl: str, axes) -> None:
-    _dispatch_log.append((op, impl, tuple(axes) if axes else None))
-
-
-def _mesh_info(batch: int):
-    """(mesh, axes) for shard_mapping a batch-parallel Pallas call.
-
-    Returns (None, None) when no mesh is active or every axis has size 1
-    (single-chip semantics — call the kernel directly); (mesh, None) when a
-    sharded mesh is active but the batch cannot be evenly shard_mapped (the
-    caller must fall back to an XLA impl); (mesh, axes) when shard_map over
-    ``axes`` is safe.
-    """
-    from video_vae_tpu.parallel.sharding import active_mesh
-
-    mesh = active_mesh()
-    if mesh is None or all(s <= 1 for s in mesh.shape.values()):
-        return None, None
-    axes = tuple(a for a in ("data", "fsdp") if mesh.shape.get(a, 1) > 1)
-    size = 1
-    for a in axes:
-        size *= mesh.shape[a]
-    if not axes or batch % size:
-        return mesh, None
-    return mesh, axes
-
-
-def _shard_map(fn, mesh, in_specs, out_specs):
-    """jax.shard_map with replication checking off (pallas_call has no
-    replication rule), across the check_vma/check_rep API rename."""
-    try:
-        sm = jax.shard_map
-    except AttributeError:  # older jax
-        from jax.experimental.shard_map import shard_map as sm
-    try:
-        return sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False)
-    except TypeError:
-        return sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False)
+from video_vae_tpu.parallel.sharding import (  # mesh plumbing lives with
+    # the rest of the sharding policy; conv keeps short local aliases
+    clear_dispatch_log,
+    dispatch_log,
+    log_dispatch as _log_dispatch,
+    mesh_info as _mesh_info,
+    shard_map_unchecked as _shard_map,
+)
 
 
 def _patch_budget(kh: int) -> int:

@@ -455,25 +455,46 @@ def fused_qkv_attention(
     return out
 
 
-def _fused_pallas(qkv, m, qs_tiled, ks_tiled, cos_t, sin_t, seg, *, num_heads, interpret):
-    """The pallas_call portion on (possibly per-shard) operands."""
-    b, s, three_hd = qkv.shape
-    hd = three_hd // 3
-    d = hd // num_heads
-    # bb=8/64 measured best end-to-end (16/128 A/B'd at -1 clips/s: bigger
-    # tiles reduce grid parallelism without improving the VPU-bound chain).
-    # Scale down between those anchors: at s=64, bb=64 blocks put ~79 MB of
-    # f32 chain temporaries on the Mosaic VMEM stack (64-frame curriculum
-    # bucket OOM'd at compile, soak probe r3) — keep bb·s ≈ 1024 rows.
-    # Packed small-S path (VVT_ATTN_PACKED=1): all heads' scores in one
-    # full-lane (S, H·S) block — see _fused_kernel. Smaller batch tiles keep
-    # the block-diagonal K/V copies (bb·H·S·HD f32) on the VMEM stack.
+def _tile_operands(q_scale, k_scale, cos, sin, hd, d, num_heads):
+    """Per-head params/tables pre-tiled across the H·D lane dim, plus the 0/1
+    segment matrix for the in-kernel per-head mean/var (see _fused_kernel).
+    SHARED by the fwd and bwd wrappers."""
+    qs_tiled = jnp.tile(q_scale.reshape(1, d), (1, num_heads))
+    ks_tiled = jnp.tile(k_scale.reshape(1, d), (1, num_heads))
+    cos_t = jnp.tile(cos.astype(jnp.float32), (1, num_heads))  # (S, HD)
+    sin_t = jnp.tile(sin.astype(jnp.float32), (1, num_heads))
+    lane = jnp.arange(hd)
+    seg = jnp.zeros((hd, 2 * num_heads), jnp.float32).at[lane, lane // d].set(1.0)
+    return qs_tiled, ks_tiled, cos_t, sin_t, seg
+
+
+def _packed_and_bb(s: int, num_heads: int):
+    """(packed, bb) tile rule SHARED by the fwd and bwd wrappers.
+
+    bb=8/64 measured best end-to-end (16/128 A/B'd at -1 clips/s: bigger
+    tiles reduce grid parallelism without improving the VPU-bound chain).
+    Scale down between those anchors: at s=64, bb=64 blocks put ~79 MB of
+    f32 chain temporaries on the Mosaic VMEM stack (64-frame curriculum
+    bucket OOM'd at compile, soak probe r3) — keep bb·s ≈ 1024 rows.
+    Packed small-S path (VVT_ATTN_PACKED=1): all heads' scores in one
+    full-lane (S, H·S) block — see _fused_kernel. Smaller batch tiles keep
+    the block-diagonal K/V copies (bb·H·S·HD f32) on the VMEM stack.
+    """
     packed = (
         s < 128
         and (s * num_heads) % 128 == 0
         and os.environ.get("VVT_ATTN_PACKED", "0") == "1"
     )
     bb = 8 if s >= 128 else max(8, (512 if packed else 1024) // s)
+    return packed, bb
+
+
+def _fused_pallas(qkv, m, qs_tiled, ks_tiled, cos_t, sin_t, seg, *, num_heads, interpret):
+    """The pallas_call portion on (possibly per-shard) operands."""
+    b, s, three_hd = qkv.shape
+    hd = three_hd // 3
+    d = hd // num_heads
+    packed, bb = _packed_and_bb(s, num_heads)
     pad = (-b) % bb
     if pad:
         qkv = jnp.concatenate([qkv, jnp.zeros((pad, s, three_hd), qkv.dtype)], axis=0)
@@ -529,9 +550,13 @@ def _fused_call(qkv, q_scale, k_scale, mask, num_heads, rope_base, rope_alpha, i
     # is embarrassingly parallel), or fall back to the identical-math XLA
     # chain when the batch can't be evenly mapped. (ops/conv3d.py has the
     # same policy for the conv kernels.)
-    from video_vae_tpu.ops.conv3d import _log_dispatch, _mesh_info, _shard_map
+    from video_vae_tpu.parallel.sharding import (
+        log_dispatch as _log_dispatch,
+        mesh_info as _mesh_info,
+        shard_map_unchecked as _shard_map,
+    )
 
-    mesh, axes = _mesh_info(b)
+    mesh, axes = _mesh_info(b, tensor_safe=False)
     if mesh is not None and axes is None:
         return _reference_fused_chain(qkv, q_scale, k_scale, mask, num_heads, cos, sin)
 
@@ -542,12 +567,9 @@ def _fused_call(qkv, q_scale, k_scale, mask, num_heads, rope_base, rope_alpha, i
 
     # per-head params/tables pre-tiled across the H·D lane dim; 0/1 segment
     # matrix for the in-kernel per-head mean/var (see _fused_kernel)
-    qs_tiled = jnp.tile(q_scale.reshape(1, d), (1, num_heads))
-    ks_tiled = jnp.tile(k_scale.reshape(1, d), (1, num_heads))
-    cos_t = jnp.tile(cos.astype(jnp.float32), (1, num_heads))  # (S, HD)
-    sin_t = jnp.tile(sin.astype(jnp.float32), (1, num_heads))
-    lane = jnp.arange(hd)
-    seg = jnp.zeros((hd, 2 * num_heads), jnp.float32).at[lane, lane // d].set(1.0)
+    qs_tiled, ks_tiled, cos_t, sin_t, seg = _tile_operands(
+        q_scale, k_scale, cos, sin, hd, d, num_heads
+    )
 
     kernel = functools.partial(_fused_pallas, num_heads=num_heads, interpret=interpret)
     _log_dispatch("fused_attention", "pallas", axes)
@@ -730,12 +752,7 @@ def _fused_bwd_pallas(qkv, m, g, qs_tiled, ks_tiled, cos_t, sin_t, seg, *, num_h
     b, s, three_hd = qkv.shape
     hd = three_hd // 3
     d = hd // num_heads
-    packed = (
-        s < 128
-        and (s * num_heads) % 128 == 0
-        and os.environ.get("VVT_ATTN_PACKED", "0") == "1"
-    )
-    bb = 8 if s >= 128 else max(8, (512 if packed else 1024) // s)
+    packed, bb = _packed_and_bb(s, num_heads)
     pad = (-b) % bb
     if pad:
         qkv = jnp.concatenate([qkv, jnp.zeros((pad, s, three_hd), qkv.dtype)], axis=0)
@@ -792,25 +809,24 @@ def _fused_bwd(num_heads, rope_base, rope_alpha, interpret, residuals, g):
     d = hd // num_heads
     cos, sin = rope_tables(s, d, rope_base, rope_alpha)
 
-    import os
-
     on_tpu = jax.devices()[0].platform == "tpu"
     use_pallas = (on_tpu or interpret) and os.environ.get("VVT_FUSED_BWD", "pallas") != "xla"
     if use_pallas:
-        from video_vae_tpu.ops.conv3d import _log_dispatch, _mesh_info, _shard_map
+        from video_vae_tpu.parallel.sharding import (
+            log_dispatch as _log_dispatch,
+            mesh_info as _mesh_info,
+            shard_map_unchecked as _shard_map,
+        )
 
-        mesh, axes = _mesh_info(b)
+        mesh, axes = _mesh_info(b, tensor_safe=False)
         if not (mesh is not None and axes is None):
             if mask is None:
                 m = jnp.ones((b, 1, s), jnp.int32)
             else:
                 m = mask.reshape(b, 1, s).astype(jnp.int32)
-            qs_tiled = jnp.tile(q_scale.reshape(1, d), (1, num_heads))
-            ks_tiled = jnp.tile(k_scale.reshape(1, d), (1, num_heads))
-            cos_t = jnp.tile(cos.astype(jnp.float32), (1, num_heads))
-            sin_t = jnp.tile(sin.astype(jnp.float32), (1, num_heads))
-            lane = jnp.arange(hd)
-            seg = jnp.zeros((hd, 2 * num_heads), jnp.float32).at[lane, lane // d].set(1.0)
+            qs_tiled, ks_tiled, cos_t, sin_t, seg = _tile_operands(
+                q_scale, k_scale, cos, sin, hd, d, num_heads
+            )
             kern = functools.partial(
                 _fused_bwd_pallas, num_heads=num_heads, interpret=interpret
             )

@@ -91,6 +91,76 @@ def constrain(x: jax.Array, *axes: AxisName) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# Mesh plumbing for Pallas kernels. pallas_call is opaque to GSPMD: under a
+# sharded mesh a kernel must either be shard_mapped over the batch grid
+# (embarrassingly parallel) or the caller must fall back to an XLA impl that
+# the partitioner handles natively. Dispatch decisions are recorded
+# (trace-time) so the multichip dryrun can assert which backend actually ran.
+# ---------------------------------------------------------------------------
+
+_dispatch_log: list = []
+
+
+def dispatch_log() -> tuple:
+    """Trace-time record of (op, impl, sharding) dispatch decisions."""
+    return tuple(_dispatch_log)
+
+
+def clear_dispatch_log() -> None:
+    _dispatch_log.clear()
+
+
+def log_dispatch(op: str, impl: str, axes) -> None:
+    # bounded: long curriculum runs retrace per shape bucket; consumers
+    # (dryrun, tests) clear_dispatch_log() around the region they assert on
+    if len(_dispatch_log) < 4096:
+        _dispatch_log.append((op, impl, tuple(axes) if axes else None))
+
+
+def mesh_info(batch: int, *, tensor_safe: bool = True):
+    """(mesh, axes) for shard_mapping a batch-parallel Pallas call.
+
+    Returns (None, None) when no mesh is active or every axis has size 1
+    (single-chip semantics — call the kernel directly); (mesh, None) when a
+    sharded mesh is active but the kernel cannot be safely shard_mapped (the
+    caller must fall back to an XLA impl); (mesh, axes) when shard_map over
+    ``axes`` is safe.
+
+    tensor_safe=False marks call sites whose operands are SHARDED ON THE
+    TENSOR AXIS (attention q/k/v heads follow the column-parallel QKV split):
+    a batch-only shard_map would all-gather those dims on entry and compute
+    them redundantly on every tensor shard, so any tensor>1 mesh falls back
+    to the GSPMD-native XLA impl. Conv activations carry no tensor-sharded
+    dim and may keep shard_map under TP meshes.
+    """
+    mesh = active_mesh()
+    if mesh is None or all(s <= 1 for s in mesh.shape.values()):
+        return None, None
+    if not tensor_safe and mesh.shape.get("tensor", 1) > 1:
+        return mesh, None
+    axes = tuple(a for a in ("data", "fsdp") if mesh.shape.get(a, 1) > 1)
+    size = 1
+    for a in axes:
+        size *= mesh.shape[a]
+    if not axes or batch % size:
+        return mesh, None
+    return mesh, axes
+
+
+def shard_map_unchecked(fn, mesh, in_specs, out_specs):
+    """jax.shard_map with replication checking off (pallas_call has no
+    replication rule), across the check_vma/check_rep API rename."""
+    try:
+        sm = jax.shard_map
+    except AttributeError:  # older jax
+        from jax.experimental.shard_map import shard_map as sm
+    try:
+        return sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False)
+    except TypeError:
+        return sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False)
+
+
+# ---------------------------------------------------------------------------
 # Parameter sharding rules
 # ---------------------------------------------------------------------------
 
