@@ -272,6 +272,27 @@ def test_group_norm_cf_matches_flax():
     np.testing.assert_allclose(np.asarray(out_pool), np.asarray(ref_pool), atol=0, rtol=0)
 
 
+def test_group_norm_silu_custom_vjp_matches_autodiff(monkeypatch):
+    """VVT_GN_VJP=1: the hand-derived fused GN+SiLU backward matches autodiff
+    of the same forward (fp32 exact-ish; includes the stats' dependence on x
+    via the grouped-normalization backward formula)."""
+    from video_vae_tpu.ops.norm import group_norm_cf
+
+    scale = jax.random.normal(jax.random.key(1), (8,)) * 0.5 + 1.0
+    bias = jax.random.normal(jax.random.key(2), (8,)) * 0.2
+    xcf = jax.random.normal(jax.random.key(3), (2, 3, 8, 8, 8))  # (b,t,c,h,w)
+
+    def loss(x, s, b):
+        return jnp.sum(group_norm_cf(x, s, b, 4, silu=True) ** 2)
+
+    monkeypatch.setenv("VVT_GN_VJP", "0")
+    ref = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(xcf, scale, bias)
+    monkeypatch.setenv("VVT_GN_VJP", "1")
+    ours = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(xcf, scale, bias)
+    for a, r in zip(ours, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=2e-4, rtol=2e-4)
+
+
 def test_group_norm_cf_bf16_drift_vs_twin():
     """Bound the bf16 drift of group_norm_cf against the nnx.GroupNorm twin.
 

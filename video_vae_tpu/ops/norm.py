@@ -11,6 +11,7 @@ Parity: /root/reference/train/unet.py:24-27 (GroupNorm(≤8 groups) + SiLU).
 
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -28,6 +29,15 @@ def group_norm_cf(
 ) -> jnp.ndarray:
     """x: (b, t, c, h, w); scale/bias: (c,). Returns x.dtype."""
     b, t, c, h, w = x.shape
+    if (
+        silu
+        and eps == 1e-6  # _gn_stats hardcodes the default epsilon
+        and os.environ.get("VVT_GN_VJP", "0") == "1"
+        and os.environ.get("VVT_NORM_STATS", "dtype") == "dtype"
+    ):
+        # hand-derived fused backward (identical forward math) — see
+        # _gn_silu_bwd; default off pending on-chip train-step A/B
+        return _gn_silu_cf(x, scale, bias, num_groups)
     xg = x.reshape(b, t, num_groups, c // num_groups, h, w)
     if os.environ.get("VVT_NORM_STATS", "dtype") == "upcast":
         # materialized f32 upcast: XLA fuses the convert INTO the producing
@@ -74,6 +84,72 @@ def group_norm_cf(
     if silu:
         y = jax.nn.silu(y)
     return y
+
+
+def _gn_stats(x: jnp.ndarray, num_groups: int):
+    """(xg, mean, r): grouped view + f32 two-pass stats (see group_norm_cf)."""
+    b, t, c, h, w = x.shape
+    xg = x.reshape(b, t, num_groups, c // num_groups, h, w)
+    mean = jnp.mean(xg, axis=(1, 3, 4, 5), keepdims=True, dtype=jnp.float32)
+    var = jnp.mean(
+        jnp.square(xg.astype(jnp.float32) - mean),
+        axis=(1, 3, 4, 5),
+        keepdims=True,
+        dtype=jnp.float32,
+    )
+    return xg, mean, jax.lax.rsqrt(var + 1e-6)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _gn_silu_cf(x, scale, bias, num_groups):
+    out, _ = _gn_silu_fwd(x, scale, bias, num_groups)
+    return out
+
+
+def _gn_silu_fwd(x, scale, bias, num_groups):
+    b, t, c, h, w = x.shape
+    xg, mean, r = _gn_stats(x, num_groups)
+    xn = (xg - mean.astype(x.dtype)) * r.astype(x.dtype)
+    y = xn.reshape(b, t, c, h, w)
+    y = y * scale.astype(x.dtype)[None, None, :, None, None]
+    y = y + bias.astype(x.dtype)[None, None, :, None, None]
+    return jax.nn.silu(y), (x, scale, bias, mean, r)
+
+
+def _gn_silu_bwd(num_groups, residuals, dz):
+    """Hand-derived fused backward (VVT_GN_VJP=1, default off pending on-chip
+    A/B): silu' → per-channel dscale/dbias reductions → the standard grouped
+    normalization backward dx = r·(dxn − mean_g(dxn) − xn·mean_g(dxn·xn)),
+    recomputing xn/y from the saved (x, mean, r) instead of letting autodiff
+    save/replay the whole elementwise chain — targets the LN/silu/residual
+    backward loop-fusion tail of the train step (PERF.md)."""
+    x, scale, bias, mean, r = residuals
+    b, t, c, h, w = x.shape
+    cg = c // num_groups
+    xg = x.reshape(b, t, num_groups, cg, h, w)
+    xn = ((xg - mean.astype(x.dtype)) * r.astype(x.dtype)).reshape(b, t, c, h, w)
+    xnf = xn.astype(jnp.float32)
+    yf = xnf * scale.astype(jnp.float32)[None, None, :, None, None] + bias.astype(
+        jnp.float32
+    )[None, None, :, None, None]
+    sig = jax.nn.sigmoid(yf)
+    dy = dz.astype(jnp.float32) * sig * (1.0 + yf * (1.0 - sig))
+    dscale = jnp.sum(dy * xnf, axis=(0, 1, 3, 4))
+    dbias = jnp.sum(dy, axis=(0, 1, 3, 4))
+    dxn = dy * scale.astype(jnp.float32)[None, None, :, None, None]
+    dxng = dxn.reshape(b, t, num_groups, cg, h, w)
+    xng = xnf.reshape(b, t, num_groups, cg, h, w)
+    m1 = jnp.mean(dxng, axis=(1, 3, 4, 5), keepdims=True)
+    m2 = jnp.mean(dxng * xng, axis=(1, 3, 4, 5), keepdims=True)
+    dx = r * (dxng - m1 - xng * m2)
+    return (
+        dx.reshape(b, t, c, h, w).astype(x.dtype),
+        dscale.astype(scale.dtype),
+        dbias.astype(bias.dtype),
+    )
+
+
+_gn_silu_cf.defvjp(_gn_silu_fwd, _gn_silu_bwd)
 
 
 def max_pool_2x_cf(x: jnp.ndarray) -> jnp.ndarray:
