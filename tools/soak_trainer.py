@@ -94,7 +94,12 @@ def compile_only(args) -> None:
     trainer = build_trainer(args, 1, 16, curriculum=False)
     results = {}
     for frames in args.buckets:
-        video = jax.numpy.zeros((1, frames, 256, 256, 3), jax.numpy.float32)
+        # random, NOT zeros: constant tokens give LN variance ≈ 0 and the
+        # backward cotangent overflows bf16 (PERF.md "remat NaN grads", r3) —
+        # the Adam update after step 1 would poison every later bucket
+        video = jax.random.uniform(
+            jax.random.key(frames), (1, frames, 256, 256, 3), jax.numpy.float32
+        )
         mask = jax.numpy.ones((1, frames), bool)
         hp = DynamicHParams.default()
         t0 = time.perf_counter()

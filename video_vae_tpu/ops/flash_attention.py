@@ -483,7 +483,7 @@ def _packed_and_bb(s: int, num_heads: int):
     packed = (
         s < 128
         and (s * num_heads) % 128 == 0
-        and os.environ.get("VVT_ATTN_PACKED", "0") == "1"
+        and os.environ.get("VVT_ATTN_PACKED", "1") == "1"
     )
     bb = 8 if s >= 128 else max(8, (512 if packed else 1024) // s)
     return packed, bb
