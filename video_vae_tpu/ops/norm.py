@@ -32,11 +32,11 @@ def group_norm_cf(
     if (
         silu
         and eps == 1e-6  # _gn_stats hardcodes the default epsilon
-        and os.environ.get("VVT_GN_VJP", "0") == "1"
+        and os.environ.get("VVT_GN_VJP", "1") == "1"
         and os.environ.get("VVT_NORM_STATS", "dtype") == "dtype"
     ):
         # hand-derived fused backward (identical forward math) — see
-        # _gn_silu_bwd; default off pending on-chip train-step A/B
+        # _gn_silu_bwd; on-chip train-step A/B won (231.1 vs 238.9 ms b1x16f)
         return _gn_silu_cf(x, scale, bias, num_groups)
     xg = x.reshape(b, t, num_groups, c // num_groups, h, w)
     if os.environ.get("VVT_NORM_STATS", "dtype") == "upcast":
@@ -117,8 +117,8 @@ def _gn_silu_fwd(x, scale, bias, num_groups):
 
 
 def _gn_silu_bwd(num_groups, residuals, dz):
-    """Hand-derived fused backward (VVT_GN_VJP=1, default off pending on-chip
-    A/B): silu' → per-channel dscale/dbias reductions → the standard grouped
+    """Hand-derived fused backward (VVT_GN_VJP, default ON — on-chip A/B won
+    −7.8 ms/step b1x16f): silu' → per-channel dscale/dbias reductions → the standard grouped
     normalization backward dx = r·(dxn − mean_g(dxn) − xn·mean_g(dxn·xn)),
     recomputing xn/y from the saved (x, mean, r) instead of letting autodiff
     save/replay the whole elementwise chain — targets the LN/silu/residual
