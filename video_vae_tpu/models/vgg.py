@@ -80,7 +80,10 @@ class VGG16Features(nnx.Module):
         # transpose ONLY the 3-channel input once at entry, then every conv
         # (and its Pallas dgrad/wgrad) runs on the cf activations directly
         # with zero further transposes; activations stay cf through the
-        # layout-agnostic loss reductions.
+        # layout-agnostic loss reductions. A/B'd on-chip r3: 283.0 vs
+        # 231.1 ms/step — LOSES by 52 ms even transpose-free (the direct
+        # kernel's im2col stores don't pay at 64ch@256²x3x3 where XLA's
+        # native NHWC conv is already MXU-shaped), so nhwc stays default.
         x = x.astype(self.dtype)
         if self.normalize:
             mean = jnp.asarray(IMAGENET_MEAN, self.dtype)
