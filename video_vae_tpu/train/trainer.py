@@ -279,6 +279,12 @@ class Trainer:
                 self.ckpt.wait()
                 return False
         self.ckpt.save(self.global_step, self.model, self.optimizer)
+        # Block until the async save is finalized: run_epoch is a public unit
+        # (tools call it directly), and an in-flight save at interpreter exit
+        # dies inside orbax's background thread ("cannot schedule new futures
+        # after interpreter shutdown") leaving a corrupt step dir (seen in the
+        # r3 soak). Seconds per epoch; epochs are hours.
+        self.ckpt.wait()
         return True
 
     def run_eval(self, epoch: int) -> Optional[dict]:
@@ -319,8 +325,10 @@ class Trainer:
                     print("[trainer] graceful shutdown complete")
                     return
                 self.run_eval(epoch)
-            self.ckpt.wait()
         finally:
+            # Drain any in-flight async save even on the exception path — an
+            # orphaned save thread dies at interpreter shutdown.
+            self.ckpt.wait()
             if getattr(self, "_profiling", False):  # window crossed end-of-run
                 jax.profiler.stop_trace()
                 self._profiling = False
