@@ -99,6 +99,48 @@ def test_encode_decode_roundtrip_api(tiny_model, cfg, batch):
     assert jnp.all(jnp.isfinite(recon.astype(jnp.float32)))
 
 
+def test_scan_rollout_decode_matches_batched(cfg, batch):
+    """scan_rollout_decode sequentializes the paired-rollout decode via a
+    checkpointed lax.scan (single-chip 64-frame memory lever, PERF.md) — it
+    must reproduce the batched (b·rollouts) decode exactly, values and
+    gradients, including under the production remat=True (nnx.remat inside
+    the scan body)."""
+    import numpy as np
+
+    from video_vae_tpu.models.vae import VideoVAE
+
+    video, mask = batch
+    base = cfg.model.replace(dtype="float32", remat=True)
+    batched = VideoVAE(base, nnx.Rngs(0, sampling=1))
+    scanned = VideoVAE(base.replace(scan_rollout_decode=True), nnx.Rngs(0, sampling=1))
+
+    @nnx.jit
+    def run(model, v, mk, r):
+        out = model(v, mk, r)
+        return out.reconstruction, out.selection_mask
+
+    ref, sel_ref = run(batched, video, mask, nnx.Rngs(sampling=7))
+    out, sel = run(scanned, video, mask, nnx.Rngs(sampling=7))
+    # identical rng consumption order → identical sampled rollout masks
+    np.testing.assert_array_equal(np.asarray(sel), np.asarray(sel_ref))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+    @nnx.jit
+    def grads(model, v, mk, r):
+        def loss(model, r):
+            out = model(v, mk, r)
+            return jnp.mean(jnp.square(out.reconstruction.astype(jnp.float32)))
+
+        return nnx.grad(loss)(model, r)
+
+    g_ref = grads(batched, video, mask, nnx.Rngs(sampling=7))
+    g_out = grads(scanned, video, mask, nnx.Rngs(sampling=7))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_out)
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-4)
+
+
 def test_decoder_s2d_full_matches_plain(cfg, batch):
     """unet_s2d_full wires packed emission (PatchUnEmbedding), the packed
     UNet, and the fused unpack+channels-last exit — the reconstruction must

@@ -95,6 +95,15 @@ class ModelConfig:
     dtype: str = "bfloat16"
     param_dtype: str = "float32"
     remat: bool = True
+    # Single-chip memory lever for "rl" training: run the decoder as a
+    # checkpointed lax.scan over the rollout axis instead of one batched
+    # (b·rollouts) pass. Decoder backward temps (the dominant 64-frame
+    # allocations — PERF.md) halve from [2b,…] to [b,…] at the cost of
+    # sequentializing the two rollouts. Identical math (decode is
+    # deterministic per rollout; tested). Default off: on multi-chip meshes
+    # data/fsdp sharding already splits the rollout batch, and single-chip
+    # 16/32-frame buckets fit without it.
+    scan_rollout_decode: bool = False
     # Attention backend: "xla" (jax.nn.dot_product_attention), "pallas"
     # (fused attention kernel), or "fused" (qk-norm + RoPE + attention in ONE
     # Pallas kernel straight off the QKV projection — ops/flash_attention.py).

@@ -211,6 +211,35 @@ class VideoVAE(nnx.Module):
         sel = selection_mask.astype(latent.dtype)
         return self.fill_token.value.astype(latent.dtype) * (1.0 - sel) + latent * sel
 
+    def _decode_scan_rollouts(
+        self, blended: jnp.ndarray, attn_mask: jnp.ndarray, rollouts: int
+    ) -> jnp.ndarray:
+        """Decode one rollout at a time via a checkpointed ``lax.scan``.
+
+        The paired rollouts are independent decodes of the same weights, so
+        scanning over the rollout axis is mathematically identical to the
+        batched (b·rollouts) pass while forcing XLA to schedule them
+        sequentially — peak decoder backward temps drop from [2b,…] to [b,…]
+        (the 512 MB conv-backward copies that push the 64-frame bucket past
+        16G single-chip HBM, PERF.md). ``jax.checkpoint`` on the body keeps
+        the backward per-rollout too. Same split/merge-as-scan-constant
+        pattern as losses/perceptual.py:38-45.
+        """
+        graphdef, dec_state = nnx.split(self.decoder)
+        # (b r) batch order is b-major/r-minor (the repeat above), so peel the
+        # rollout axis to the front for the scan and restore it after.
+        z_r = rearrange(blended, "(b r) ... -> r b ...", r=rollouts)
+        m_r = rearrange(attn_mask, "(b r) ... -> r b ...", r=rollouts)
+
+        @jax.checkpoint
+        def body(state, z_m):
+            z_i, m_i = z_m
+            decoder = nnx.merge(graphdef, state)
+            return state, decoder(z_i, m_i)
+
+        _, recon_r = jax.lax.scan(body, dec_state, (z_r, m_r))
+        return rearrange(recon_r, "r b ... -> (b r) ...")
+
     # -- training forward --------------------------------------------------
 
     def __call__(
@@ -260,7 +289,10 @@ class VideoVAE(nnx.Module):
             rollouts = 1
 
         blended = self.blend_fill(latent, selection_mask)
-        reconstruction = self.decoder(blended, attn_mask)
+        if cfg.scan_rollout_decode and rollouts > 1:
+            reconstruction = self._decode_scan_rollouts(blended, attn_mask, rollouts)
+        else:
+            reconstruction = self.decoder(blended, attn_mask)
         return VAEOutput(
             reconstruction=reconstruction,
             latent=blended,
