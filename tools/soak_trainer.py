@@ -59,7 +59,9 @@ def build_trainer(args, batch_size: int, max_frames: int, curriculum: bool):
     from video_vae_tpu.train.trainer import Trainer
 
     cfg = VAEConfig(
-        model=ModelConfig(remat=args.remat),
+        model=ModelConfig(
+            remat=args.remat, scan_rollout_decode=args.scan_rollout
+        ),
         loss=LossConfig(vgg_layout=args.vgg_layout),
         data=DataConfig(
             synthetic=True,
@@ -184,6 +186,7 @@ def main() -> None:
     parser.add_argument("--compile-only", action="store_true")
     parser.add_argument("--buckets", type=int, nargs="+", default=[16, 32, 64])
     parser.add_argument("--no-remat", dest="remat", action="store_false")
+    parser.add_argument("--scan-rollout", dest="scan_rollout", action="store_true")
     parser.add_argument("--vgg_layout", default="nhwc", choices=["nhwc", "cf"])
     parser.add_argument("--clips", type=int, default=100)
     parser.add_argument("--warm_steps", type=int, default=6)

@@ -41,9 +41,6 @@ def make_perceptual_loss_fn(
         model = nnx.merge(graphdef, state)
         return model(imgs)
 
-    if remat:
-        features = jax.checkpoint(features)
-
     def _per_frame_loss(x_flat: jnp.ndarray, tgt_flat: jnp.ndarray) -> jnp.ndarray:
         """(N,h,w,c)×2 → (N,) per-frame perceptual loss (one VGG pass)."""
         both = jnp.concatenate([x_flat, tgt_flat], axis=0)
@@ -58,6 +55,15 @@ def make_perceptual_loss_fn(
                 jnp.square(fx - ft), axis=tuple(range(1, fx.ndim))
             )
         return loss
+
+    if remat:
+        # Checkpoint the WHOLE per-frame loss, not just the VGG trunk: under
+        # the chunked lax.scan, a features-only checkpoint leaves the f32
+        # feature diff as a per-chunk scan residual — a stacked
+        # f32[chunks, chunk, 256, 256, 64] buffer (4.0 GB with lane padding at
+        # the 64-frame bucket; the #1 allocation in the r3 OOM breakdown).
+        # Checkpointing the full body keeps only the bf16 pixel inputs live.
+        _per_frame_loss = jax.checkpoint(_per_frame_loss)
 
     def perceptual_loss(
         x: jnp.ndarray, target: jnp.ndarray, rollouts: int = 1
