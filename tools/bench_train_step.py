@@ -52,6 +52,10 @@ def main() -> None:
                         "measure remat steps through the Trainer instead")
     parser.add_argument("--profile", metavar="DIR", default=None,
                         help="dump an xplane trace of the timed region")
+    parser.add_argument("--dump-hlo", metavar="FILE", default=None,
+                        help="write the optimized HLO of the chained step "
+                        "(k=5, the program the xplane trace names come from) "
+                        "and exit without timing")
     args = parser.parse_args()
 
     cfg = ModelConfig(remat=args.remat)
@@ -102,6 +106,13 @@ def main() -> None:
         total, m2, o2 = chained(m_state, o_state, video, mask, k)
         float(total)
         return time.perf_counter() - t0, m2, o2
+
+    if args.dump_hlo:
+        compiled = chained.lower(m_state, o_state, video, mask, 5).compile()
+        with open(args.dump_hlo, "w") as f:
+            f.write(compiled.as_text())
+        print(f"[bench_train_step] optimized HLO → {args.dump_hlo}")
+        return
 
     print("[bench_train_step] compiling (fwd+bwd, this is the big one)...", flush=True)
     k_short, k_long = 1, 5

@@ -42,15 +42,23 @@ def make_perceptual_loss_fn(
         return model(imgs)
 
     def _per_frame_loss(x_flat: jnp.ndarray, tgt_flat: jnp.ndarray) -> jnp.ndarray:
-        """(N,h,w,c)×2 → (N,) per-frame perceptual loss (one VGG pass)."""
-        both = jnp.concatenate([x_flat, tgt_flat], axis=0)
-        acts = features(state, both)
+        """(N,h,w,c)×2 → (N,) per-frame perceptual loss.
+
+        Pred and target run as SEPARATE VGG passes with the target pass under
+        stop_gradient: the earlier single concatenated pass made the backward
+        dgrad chain run at 2N batch and throw the target half away — at
+        b1×16f that was ~240 GFLOP/step of dead convolutions. Two N-sized
+        passes keep shapes even (the uneven-batch dedup variant that was
+        A/B'd slower tiled FEATURES; this tiles nothing).
+        """
+        acts_x = features(state, x_flat)
+        acts_t = jax.lax.stop_gradient(features(state, tgt_flat))
         loss = 0.0
         for layer in PERCEPTUAL_LAYERS:
-            feat = acts[layer].astype(jnp.float32)
-            if feat.ndim == 5:  # cf layout: (1, 2N, C, H, W) → (2N, C, H, W)
-                feat = feat[0]
-            fx, ft = jnp.split(feat, 2, axis=0)
+            fx = acts_x[layer].astype(jnp.float32)
+            ft = acts_t[layer].astype(jnp.float32)
+            if fx.ndim == 5:  # cf layout: (1, N, C, H, W) → (N, C, H, W)
+                fx, ft = fx[0], ft[0]
             loss = loss + jnp.mean(
                 jnp.square(fx - ft), axis=tuple(range(1, fx.ndim))
             )
@@ -63,7 +71,13 @@ def make_perceptual_loss_fn(
         # f32[chunks, chunk, 256, 256, 64] buffer (4.0 GB with lane padding at
         # the 64-frame bucket; the #1 allocation in the r3 OOM breakdown).
         # Checkpointing the full body keeps only the bf16 pixel inputs live.
-        _per_frame_loss = jax.checkpoint(_per_frame_loss)
+        # Applied ONLY on the chunked path below: the single-pass path has no
+        # stacked residuals (its live set is one chunk's worth by
+        # construction), so checkpointing it just re-ran the whole VGG
+        # forward in the backward for nothing (~480 GFLOP/step at b1×16f).
+        _per_frame_loss_ckpt = jax.checkpoint(_per_frame_loss)
+    else:
+        _per_frame_loss_ckpt = _per_frame_loss
 
     def perceptual_loss(
         x: jnp.ndarray, target: jnp.ndarray, rollouts: int = 1
@@ -98,7 +112,7 @@ def make_perceptual_loss_fn(
             tc = tgt_flat.reshape(n_chunks, chunk_frames, *tgt_flat.shape[1:])
 
             def body(carry, xt):
-                return carry, _per_frame_loss(*xt)
+                return carry, _per_frame_loss_ckpt(*xt)
 
             _, losses = jax.lax.scan(body, 0.0, (xc, tc))
             loss = losses.reshape(n + pad)[:n]
