@@ -34,6 +34,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -538,8 +539,16 @@ def _s2d_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
     """
     kt, kh, kw, ci, co = kernel.shape
     eh, ew = _s2d_extent(kh), _s2d_extent(kw)
+    # ONE gather, not kh·kw·4 scatters: the scatter-loop formulation lowered
+    # to a ~(2·2·kh·kw)-long dynamic-update-slice fusion chain that XLA can
+    # hoist out of an inference scan (weights loop-invariant) but re-executes
+    # EVERY training step — ~15 ms/step of weight rearrangement at b1×16f
+    # (xplane, v5e). The map (a,b,dh,dw) → (DH,DW,pa,pb) is a bijection onto
+    # its image, so it inverts to a trace-time numpy index table into the
+    # flattened taps (index P = the appended zero tap for unmapped slots).
+    P = kh * kw
+    idx = np.full((eh, ew, 2, 2, 2, 2), P, np.int32)  # (DH,DW,pa,pb,a,b)
     oh, ow = eh // 2, ew // 2  # center offsets in block domain
-    out = jnp.zeros((kt, eh, ew, ci * 4, co * 4), kernel.dtype)
     for a in (0, 1):
         for b in (0, 1):
             for dh in range(kh):
@@ -548,10 +557,21 @@ def _s2d_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
                     rw = b + (dw - kw // 2)
                     DH, pa = rh // 2 + oh, rh % 2
                     DW, pb = rw // 2 + ow, rw % 2
-                    # rows: input channel ci at phase (pa,pb); cols: co at (a,b)
-                    out = out.at[
-                        :, DH, DW, pa * 2 + pb :: 4, a * 2 + b :: 4
-                    ].set(kernel[:, dh, dw, :, :])
+                    idx[DH, DW, pa, pb, a, b] = dh * kw + dw
+    taps = jnp.concatenate(
+        [
+            kernel.reshape(kt, P, ci, co),
+            jnp.zeros((kt, 1, ci, co), kernel.dtype),
+        ],
+        axis=1,
+    )
+    # (kt, eh, ew, pa, pb, a, b, ci, co) → rows ci·4+pa·2+pb, cols co·4+a·2+b
+    g = jnp.take(taps, jnp.asarray(idx.reshape(-1)), axis=1).reshape(
+        kt, eh, ew, 2, 2, 2, 2, ci, co
+    )
+    out = jnp.transpose(g, (0, 1, 2, 7, 3, 4, 8, 5, 6)).reshape(
+        kt, eh, ew, ci * 4, co * 4
+    )
     return out
 
 
