@@ -167,6 +167,45 @@ def test_pallas_kernel_interpret_wide_spatial_chunked():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-3, rtol=1e-2)
 
 
+@pytest.mark.parametrize(
+    "cins,cout,pool",
+    [([256], 128, False), ([256, 64], 128, False), ([128], 512, False), ([256], 128, True)],
+)
+def test_tapdot_kernel_interpret_matches_xla(cins, cout, pool, monkeypatch):
+    """The env-gated tap-dot variant (kt=1, cin ≥ 128): one MXU dot per
+    spatial tap, no im2col scratch. Covers single/multi-source, the
+    dgrad-shaped large-cout case, and the fused pool epilogue."""
+    from video_vae_tpu.ops.conv3d import _conv3d_tapdot_cf, tapdot_supported
+
+    monkeypatch.setenv("VVT_TAPDOT", "1")
+    h = w = 128
+    cin = sum(cins)
+    assert tapdot_supported(cin, cout, 1, 3, 3, h, w)
+    key = jax.random.key(cin + cout)
+    xs = tuple(
+        (jax.random.normal(jax.random.fold_in(key, i), (1, 2, c, h, w)) * 0.5).astype(
+            jnp.bfloat16
+        )
+        for i, c in enumerate(cins)
+    )
+    kern = (jax.random.normal(jax.random.fold_in(key, 99), (1, 3, 3, cin, cout)) * 0.05
+            ).astype(jnp.bfloat16)
+    bias = jax.random.normal(jax.random.fold_in(key, 98), (cout,)) * 0.1
+    ref = _conv3d_xla_cf(jnp.concatenate(xs, axis=2), kern, bias)
+    got = _conv3d_tapdot_cf(xs if len(xs) > 1 else xs[0], kern, bias,
+                            interpret=True, pool=pool)
+    if pool:
+        got, gotp = got
+        r = jnp.maximum(ref[..., 0::2, :], ref[..., 1::2, :])
+        refp = jnp.maximum(r[..., 0::2], r[..., 1::2])
+        np.testing.assert_allclose(
+            np.asarray(gotp, np.float32), np.asarray(refp, np.float32), atol=0.05
+        )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=0.05
+    )
+
+
 def test_pallas_pooled_matches_reference():
     """conv3d_cf_pooled: fused conv+(1,2,2)-maxpool epilogue, fwd and grads."""
     from video_vae_tpu.ops.conv3d import conv3d_cf_pooled

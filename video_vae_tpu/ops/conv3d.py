@@ -404,6 +404,227 @@ def _pack_weights_mf(kernel, bias, frames, stride, m_pad, k_pad):
     return wmat, bias_col
 
 
+def _tapdot_kernel(*refs, kh, kw, th, h, w, t, stride, cout, pool, src_layout):
+    """Direct conv via one MXU dot PER SPATIAL TAP — no im2col scratch.
+
+    Applies to kt=1 convs with cin ≥ 128 (the s2d-packed UNet levels and
+    their dgrads): there K = cin is already MXU-sized, so materializing
+    kh·kw·cin-row im2col patches only multiplied VMEM traffic ~(kh·kw)× —
+    the patch stores were the measured bottleneck of the im2col kernel at
+    these shapes (~55% MFU on v5e). Here each tap (dh, dw) issues
+    W[dh,dw] (cout, cin) @ window_shifted (cin, th·w) into an fp32
+    accumulator; row shifts are free sublane slices of the halo buffer and
+    the kw−1 lane shifts are hoisted whole-window rolls (identical trick to
+    the im2col kernel).
+
+    Halo preamble matches `_conv_kernel` simplified for kt=1: no temporal
+    window, every frame valid (one DMA per source, no zero slots).
+    """
+    n_src = len(src_layout)
+    srcs = refs[:n_src]
+    w_ref, b_ref, o_ref, *rest = refs[n_src:]
+    if pool:
+        p_ref, in_buf, sems = rest
+    else:
+        (in_buf, sems), p_ref = rest, None
+    i = pl.program_id(0)
+    tiles_per_frame = h // th
+    ph = kh // 2
+    dma_rows = th + kh - 1
+    rem = i % (t * tiles_per_frame)
+    b_idx = i // (t * tiles_per_frame)
+    t_idx = rem // tiles_per_frame
+    row0 = (rem % tiles_per_frame) * th
+
+    whole_frame = dma_rows >= h
+    buf_rows = _buf_rows(th, kh, h, w)
+    L = buf_rows * w
+    if whole_frame:
+        lane0 = 0
+    else:
+        # w ≥ 128 only (gated in the wrapper): row offsets are lane-aligned
+        lane0 = jnp.clip(row0 - ph, 0, h - dma_rows) * w
+    copies = []
+    for si, x_hbm in enumerate(srcs):
+        c_off, c_len = src_layout[si]
+        if whole_frame:
+            dst = in_buf.at[pl.ds(c_off, c_len), pl.ds(ph * w, h * w)]
+            src = x_hbm.at[b_idx, t_idx, :, :]
+        else:
+            dst = in_buf.at[pl.ds(c_off, c_len), :]
+            src = x_hbm.at[b_idx, t_idx, :, pl.ds(lane0, L)]
+        copy = pltpu.make_async_copy(src, dst, sems.at[si])
+        copy.start()
+        copies.append(copy)
+    if whole_frame and ph:
+        in_buf[:, : ph * w] = jnp.zeros((stride, ph * w), in_buf.dtype)
+        in_buf[:, (ph + h) * w :] = jnp.zeros(
+            (stride, L - (ph + h) * w), in_buf.dtype
+        )
+    for copy in copies:
+        copy.wait()
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (stride, L), dimension=1) >> (
+        w.bit_length() - 1
+    )
+    if not whole_frame and ph:
+        @pl.when(row0 == 0)
+        def _top():
+            rolled = pltpu.roll(in_buf[:].astype(jnp.float32), shift=ph * w, axis=1)
+            in_buf[:] = jnp.where(row_ids < ph, 0.0, rolled).astype(in_buf.dtype)
+
+        @pl.when(row0 == h - th)
+        def _bottom():
+            rolled = pltpu.roll(
+                in_buf[:].astype(jnp.float32), shift=(-ph * w) % L, axis=1
+            )
+            in_buf[:] = jnp.where(row_ids >= dma_rows - ph, 0.0, rolled).astype(
+                in_buf.dtype
+            )
+
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (stride, L), dimension=1) & (w - 1)
+    window = in_buf[:]
+    shifted = {0: window}
+    for dw in range(kw):
+        shift = dw - kw // 2
+        if shift == 0:
+            continue
+        rolled = pltpu.roll(window.astype(jnp.float32), shift=(-shift) % L, axis=1)
+        if shift < 0:
+            rolled = jnp.where(col_ids < -shift, 0.0, rolled)
+        else:
+            rolled = jnp.where(col_ids >= w - shift, 0.0, rolled)
+        shifted[shift] = rolled.astype(window.dtype)
+
+    acc = None
+    for dh in range(kh):
+        for dw in range(kw):
+            piece = shifted[dw - kw // 2][:, dh * w : dh * w + th * w]
+            part = jax.lax.dot_general(
+                w_ref[dh * kw + dw], piece,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (cout, th·w)
+            acc = part if acc is None else acc + part
+    out = acc + b_ref[:].astype(jnp.float32)
+    o_ref[...] = out[None].astype(o_ref.dtype)
+    if pool:
+        for r2 in range(th // 2):
+            v = jnp.maximum(
+                out[:, (2 * r2) * w : (2 * r2 + 1) * w],
+                out[:, (2 * r2 + 1) * w : (2 * r2 + 2) * w],
+            )
+            p_ref[0, :, r2, :] = v.astype(p_ref.dtype)
+
+
+def _tapdot_tile_h(h, kh, kw, w, stride, cout) -> Optional[int]:
+    """Largest row tile whose window + shifted copies + accumulator fit a
+    40MB VMEM working set (the pallas_call raises the scoped cap to 64MB)."""
+    for th in (32, 16, 8):
+        if h % th:
+            continue
+        L = (_buf_rows(th, kh, h, w)) * w
+        window_b = stride * L * 2 * kw  # window + (kw−1) shifted bf16 copies
+        roll_tmp = stride * L * 4  # f32 roll intermediate
+        acc_b = cout * th * w * 4
+        out_b = cout * th * w * 2 * 2  # double-buffered out block
+        if window_b + roll_tmp + acc_b + out_b <= 40 * 1024 * 1024:
+            return th
+    return None
+
+
+def tapdot_supported(cin, cout, kt, kh, kw, h, w) -> bool:
+    # Default OFF: on-chip A/B at the flagship shapes was NEUTRAL both ways
+    # (forward 43.32 vs 43.43 clips/s; train step 165.7 vs 167.7 ms) — the
+    # im2col kernel's patch stores were NOT the bottleneck at cin ≥ 128, and
+    # the tap-dot's hoisted lane rolls cost about what the stores did. Kept
+    # env-gated for future shapes (e.g. larger cout where the banded-M
+    # packing stops paying).
+    return (
+        kt == 1
+        and w >= 128
+        and cin >= 128
+        and cin % 8 == 0
+        and cout % 8 == 0
+        and os.environ.get("VVT_TAPDOT", "0") == "1"
+        and _tapdot_tile_h(h, kh, kw, w, cin, cout) is not None
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "pool"))
+def _conv3d_tapdot_cf(xq, kernel, bias, interpret=False, pool=False):
+    """Tap-dot dispatch: kt=1, cin ≥ 128 channels-first convs (and tuples of
+    sources whose channel concat is the input, as in `_conv3d_pallas_cf`)."""
+    xs = xq if isinstance(xq, (tuple, list)) else (xq,)
+    b, t, _, h, w = xs[0].shape
+    cins = [x.shape[2] for x in xs]
+    cin = sum(cins)
+    kt, kh, kw, _, cout = kernel.shape
+    assert kt == 1 and cin % 8 == 0 and cout % 8 == 0
+    th = _tapdot_tile_h(h, kh, kw, w, cin, cout)
+    xs = tuple(x.reshape(b, t, c, h * w) for x, c in zip(xs, cins))
+    offs = [sum(cins[:i]) for i in range(len(cins))]
+    src_layout = tuple((o, c) for o, c in zip(offs, cins))
+    # (kh·kw, cout, cin) tap-major weights: one transpose, no banded packing
+    wmat = jnp.transpose(kernel[0], (3, 0, 1, 2)).reshape(cout, kh * kw, cin)
+    wmat = jnp.transpose(wmat, (1, 0, 2))
+    bias_col = bias.astype(jnp.float32)[:, None]
+    tiles_per_frame = h // th
+    grid = (b * t * tiles_per_frame,)
+    kernel_pool = pool and w >= 128
+    out_specs = [
+        pl.BlockSpec(
+            (1, cout, th * w),
+            lambda i: (i // tiles_per_frame, 0, i % tiles_per_frame),
+            memory_space=pltpu.VMEM,
+        )
+    ]
+    dtype = xs[0].dtype
+    out_shapes = [jax.ShapeDtypeStruct((b * t, cout, h * w), dtype)]
+    if kernel_pool:
+        out_specs.append(
+            pl.BlockSpec(
+                (1, cout, th // 2, w),
+                lambda i: (i // tiles_per_frame, 0, i % tiles_per_frame, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shapes.append(jax.ShapeDtypeStruct((b * t, cout, h // 2, w), dtype))
+    res = pl.pallas_call(
+        functools.partial(
+            _tapdot_kernel,
+            kh=kh, kw=kw, th=th, h=h, w=w, t=t,
+            stride=cin, cout=cout, pool=kernel_pool, src_layout=src_layout,
+        ),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(xs)
+        + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs if kernel_pool else out_specs[0],
+        out_shape=out_shapes if kernel_pool else out_shapes[0],
+        scratch_shapes=[
+            pltpu.VMEM((cin, _buf_rows(th, kh, h, w) * w), dtype),
+            pltpu.SemaphoreType.DMA((len(xs),)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*xs, wmat, bias_col)
+    if kernel_pool:
+        full, vpooled = res
+        vpooled = vpooled.reshape(b, t, cout, h // 2, w)
+        pooled = jnp.maximum(vpooled[..., 0::2], vpooled[..., 1::2])
+        return full.reshape(b, t, cout, h, w), pooled
+    if pool:
+        full = res.reshape(b, t, cout, h, w)
+        r = jnp.maximum(full[..., 0::2, :], full[..., 1::2, :])
+        return full, jnp.maximum(r[..., 0::2], r[..., 1::2])
+    return res.reshape(b, t, cout, h, w)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "pool"))
 def _conv3d_pallas_cf(xq, kernel, bias, interpret=False, pool=False):
     """Pallas direct conv on channels-first input (b, t, cin, h, w) → same layout.
@@ -421,10 +642,14 @@ def _conv3d_pallas_cf(xq, kernel, bias, interpret=False, pool=False):
     """
     xs = xq if isinstance(xq, (tuple, list)) else (xq,)
     b, t, _, h, w = xs[0].shape
-    kernel_pool = pool and w >= 128
     cins = [x.shape[2] for x in xs]
     cin = sum(cins)
     kt, kh, kw, _, cout = kernel.shape
+    if tapdot_supported(cin, cout, kt, kh, kw, h, w) and all(
+        c % 8 == 0 for c in cins
+    ):
+        return _conv3d_tapdot_cf(xq, kernel, bias, interpret=interpret, pool=pool)
+    kernel_pool = pool and w >= 128
     stride = _tap_stride(cin)
     frames, th = _pick_frames(t, kt, kh, kw, cout, h, w, stride)
     win = frames + kt - 1
