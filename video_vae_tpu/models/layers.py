@@ -67,8 +67,32 @@ class PatchEmbedding(nnx.Module):
         # 7D rearrange is bandwidth-bound — fp32 made it ~1.2 ms of copies in
         # the trace; LayerNorm still reduces in fp32 internally.
         x = x.astype(self.dtype)
-        x = rearrange(x, "b t (h p1) (w p2) c -> b t (h w) (p1 p2 c)", p1=p, p2=p)
-        return self.linear(self.norm(x))
+        # LayerNorm in PIXEL space: each token's feature vector is one (p,p,c)
+        # patch, so the per-token mean/var are per-patch block reductions on
+        # the un-patchified video, and the normalize fuses into the patchify
+        # transpose as a bf16 elementwise. The naive norm(patchify(x)) made
+        # XLA hoist the LayerNorm's f32 upcast INTO the transpose — a ~0.9 ms
+        # f32 7-D copy chain in the r3 xplane trace. The LN affine (γ, β) is
+        # folded into the Linear: y@K = xn@(γ⊙K) + (β@K + b), exact same math.
+        b, t, hh, ww, c = x.shape
+        xb = x.reshape(b, t, hh // p, p, ww // p, p, c)
+        xf = xb.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(3, 5, 6), keepdims=True)
+        # E[x²]−mean² clamped like flax (normalization.py:122): f32
+        # cancellation can go negative on constant-ish patches
+        var = jnp.maximum(
+            jnp.mean(jnp.square(xf), axis=(3, 5, 6), keepdims=True)
+            - jnp.square(mean),
+            0.0,
+        )
+        xn = ((xb - mean.astype(x.dtype)) * jax.lax.rsqrt(var + self.norm.epsilon).astype(x.dtype))
+        tokens = rearrange(xn, "b t h p1 w p2 c -> b t (h w) (p1 p2 c)")
+        gamma = self.norm.scale.value
+        beta = self.norm.bias.value
+        kern = self.linear.kernel.value
+        wk = (gamma[:, None] * kern).astype(self.dtype)
+        bias = (beta @ kern + self.linear.bias.value).astype(self.dtype)
+        return tokens @ wk + bias
 
 
 class PatchUnEmbedding(nnx.Module):

@@ -273,7 +273,7 @@ def _seg_sum_bcast(x, seq, num_heads):
 
 def _fused_kernel(
     qkv_ref, mask_ref, qs_ref, ks_ref, cos_ref, sin_ref, seg_ref, o_ref,
-    *, scale: float, num_heads: int, packed: bool = False,
+    *, scale: float, num_heads: int, packed: bool = False, has_mask: bool = True,
 ):
     """Block = a batch tile of the FULL fused (BB, S, 3·H·D) projection output
     (full-lane blocks — per-head 64-lane blocks violate the 128-lane tiling on
@@ -361,7 +361,8 @@ def _fused_kernel(
             preferred_element_type=jnp.float32,
         )
         s_all = s_all * scale
-        s_all = jnp.where(mask > 0, s_all, _NEG_INF)
+        if has_mask:
+            s_all = jnp.where(mask > 0, s_all, _NEG_INF)
         m_seg = _seg_max_lanes(s_all, seq)
         p = jnp.exp(s_all - m_seg)
         l_b = _seg_sum_bcast(p, seq, num_heads)
@@ -381,15 +382,19 @@ def _fused_kernel(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
         s = s * scale
-        s = jnp.where(mask > 0, s, _NEG_INF)
+        if has_mask:
+            s = jnp.where(mask > 0, s, _NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        p = (p / l).astype(v.dtype)
+        # fold the softmax normalizer into the (S, D) output instead of
+        # dividing the (S, S) probability matrix — one big VPU pass saved
+        # per head (S/D = 4× fewer divides at the spatial shape)
         o = jax.lax.dot_general(
-            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )
-        o_ref[:, :, h * d : (h + 1) * d] = o.astype(o_ref.dtype)
+        o_ref[:, :, h * d : (h + 1) * d] = (o * (1.0 / l)).astype(o_ref.dtype)
 
 
 def _reference_fused_chain(qkv, q_scale, k_scale, mask, num_heads, cos, sin):
@@ -489,7 +494,10 @@ def _packed_and_bb(s: int, num_heads: int):
     return packed, bb
 
 
-def _fused_pallas(qkv, m, qs_tiled, ks_tiled, cos_t, sin_t, seg, *, num_heads, interpret):
+def _fused_pallas(
+    qkv, m, qs_tiled, ks_tiled, cos_t, sin_t, seg, *, num_heads, interpret,
+    has_mask=True,
+):
     """The pallas_call portion on (possibly per-shard) operands."""
     b, s, three_hd = qkv.shape
     hd = three_hd // 3
@@ -511,7 +519,8 @@ def _fused_pallas(qkv, m, qs_tiled, ks_tiled, cos_t, sin_t, seg, *, num_heads, i
 
     out = pl.pallas_call(
         functools.partial(
-            _fused_kernel, scale=1.0 / (d**0.5), num_heads=num_heads, packed=packed
+            _fused_kernel, scale=1.0 / (d**0.5), num_heads=num_heads, packed=packed,
+            has_mask=has_mask,
         ),
         grid=((b + pad) // bb,),
         in_specs=[
@@ -571,7 +580,10 @@ def _fused_call(qkv, q_scale, k_scale, mask, num_heads, rope_base, rope_alpha, i
         q_scale, k_scale, cos, sin, hd, d, num_heads
     )
 
-    kernel = functools.partial(_fused_pallas, num_heads=num_heads, interpret=interpret)
+    kernel = functools.partial(
+        _fused_pallas, num_heads=num_heads, interpret=interpret,
+        has_mask=mask is not None,
+    )
     _log_dispatch("fused_attention", "pallas", axes)
     if mesh is None:
         return kernel(qkv, m, qs_tiled, ks_tiled, cos_t, sin_t, seg)
