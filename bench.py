@@ -11,7 +11,9 @@ K times inside ONE jitted ``lax.scan`` (each iteration consumes the previous
 reconstruction — a real data dependency, so nothing can be elided or
 overlapped), a single scalar is fetched, and the per-step time is the slope
 between two chain lengths: (t_long − t_short) / (K_long − K_short). Constant
-tunnel/dispatch overhead cancels exactly.
+tunnel/dispatch overhead cancels exactly. The recorded number is the MEDIAN
+over >=5 repeats with outlier-repeat rejection (utils/timing.py) — min-of-3
+let one tunnel hiccup set the official number in round 3.
 
 ``vs_baseline`` compares against BASELINE_MEASURED.json if present (written by
 tools/measure_reference.py, which times the reference's own model the same way
@@ -39,7 +41,7 @@ BATCH = int(os.environ.get("VVT_BATCH", "2"))
 FRAMES = 16
 K_SHORT = 1
 K_LONG = 11
-REPEATS = 3
+REPEATS = int(os.environ.get("VVT_BENCH_REPEATS", "5"))
 # A/B knobs (default = shipping config)
 ATTN_IMPL = os.environ.get("VVT_ATTN_IMPL", "")
 UNET_LAYOUT = os.environ.get("VVT_UNET_LAYOUT", "")
@@ -109,14 +111,18 @@ def main() -> None:
         )
         print(f"capturing xplane trace to {profile_dir}", file=sys.stderr)
 
-    slopes = []
+    from video_vae_tpu.utils.timing import robust_slope
+
     with profile_trace(profile_dir):
-        for _ in range(REPEATS):
-            t_short = timed_chain(chained, state, video, mask, K_SHORT)
-            t_long = timed_chain(chained, state, video, mask, K_LONG)
-            slopes.append((t_long - t_short) / (K_LONG - K_SHORT))
-    per_step = min(slopes)
-    print(f"per-forward seconds across repeats: {[round(s, 4) for s in slopes]}", file=sys.stderr)
+        est = robust_slope(
+            lambda: timed_chain(chained, state, video, mask, K_SHORT),
+            lambda: timed_chain(chained, state, video, mask, K_LONG),
+            K_SHORT,
+            K_LONG,
+            repeats=REPEATS,
+        )
+    per_step = est.per_step
+    print(f"[bench] {est.summary()}", file=sys.stderr)
 
     clips_per_sec = BATCH / per_step
 

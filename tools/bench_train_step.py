@@ -117,18 +117,25 @@ def main() -> None:
     print("[bench_train_step] compiling (fwd+bwd, this is the big one)...", flush=True)
     k_short, k_long = 1, 5
     # NOTE: donation means we must re-feed the returned states
-    dt, m2, o2 = timed(k_short)
-    m_state, o_state = m2, o2
-    dt, m2, o2 = timed(k_long)
-    m_state, o_state = m2, o2
-    slopes = []
-    for _ in range(2):
-        t1, m2, o2 = timed(k_short)
-        m_state, o_state = m2, o2
-        t2, m2, o2 = timed(k_long)
-        m_state, o_state = m2, o2
-        slopes.append((t2 - t1) / (k_long - k_short))
-    per_step = min(slopes)
+    def timed_feeding(k):
+        nonlocal m_state, o_state
+        dt, m_state, o_state = timed(k)
+        return dt
+
+    timed_feeding(k_short)
+    timed_feeding(k_long)
+
+    from video_vae_tpu.utils.timing import robust_slope
+
+    est = robust_slope(
+        lambda: timed_feeding(k_short),
+        lambda: timed_feeding(k_long),
+        k_short,
+        k_long,
+        repeats=5,
+    )
+    per_step = est.per_step
+    print(f"[bench_train_step] {est.summary()}")
     msg = (
         f"[bench_train_step] flagship train step b{b}x{t}f: {per_step*1e3:.1f} ms "
         f"({b / per_step:.3f} clips/sec/chip), perceptual={not args.no_perceptual}, "

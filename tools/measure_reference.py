@@ -44,6 +44,8 @@ import time
 import types
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 REFERENCE_TRAIN = "/root/reference/train"
 
 
@@ -219,11 +221,13 @@ def measure_forward(batch=2, frames=16):
     k_short, k_long = 1, 11
     timed(k_short)
     timed(k_long)
-    slopes = []
-    for _ in range(3):
-        slopes.append((timed(k_long) - timed(k_short)) / (k_long - k_short))
-    print(f"[measure_reference] per-forward seconds: {[round(s, 4) for s in slopes]}")
-    return batch / min(slopes)
+    from video_vae_tpu.utils.timing import robust_slope
+
+    est = robust_slope(
+        lambda: timed(k_short), lambda: timed(k_long), k_short, k_long, repeats=5
+    )
+    print(f"[measure_reference] forward: {est.summary()}")
+    return batch / est.per_step
 
 
 def measure_train_step(batch=1, frames=16):
@@ -320,15 +324,25 @@ def measure_train_step(batch=1, frames=16):
 
     print("[measure_reference] compiling reference train step (fwd+bwd)...")
     k_short, k_long = 1, 5
-    _, m_state, o_state = timed(k_short, m_state, o_state)
-    _, m_state, o_state = timed(k_long, m_state, o_state)
-    slopes = []
-    for _ in range(2):
-        t1, m_state, o_state = timed(k_short, m_state, o_state)
-        t2, m_state, o_state = timed(k_long, m_state, o_state)
-        slopes.append((t2 - t1) / (k_long - k_short))
-    print(f"[measure_reference] per-train-step seconds: {[round(s, 4) for s in slopes]}")
-    return min(slopes)
+
+    def timed_feeding(k):
+        nonlocal m_state, o_state
+        dt, m_state, o_state = timed(k, m_state, o_state)
+        return dt
+
+    timed_feeding(k_short)
+    timed_feeding(k_long)
+    from video_vae_tpu.utils.timing import robust_slope
+
+    est = robust_slope(
+        lambda: timed_feeding(k_short),
+        lambda: timed_feeding(k_long),
+        k_short,
+        k_long,
+        repeats=5,
+    )
+    print(f"[measure_reference] train step: {est.summary()}")
+    return est.per_step
 
 
 def main() -> None:
