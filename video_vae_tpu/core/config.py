@@ -327,8 +327,12 @@ class VAEConfig:
 
 
 def tiny_config(**model_overrides) -> VAEConfig:
-    """A CPU-runnable config (BASELINE.json config 1 scale) used by tests."""
-    model = ModelConfig(
+    """A CPU-runnable config (BASELINE.json config 1 scale) used by tests.
+
+    ``model_overrides`` replace the tiny defaults (e.g. the multichip dryrun
+    bumps num_heads so the Megatron head split divides a tensor-only mesh).
+    """
+    kwargs = dict(
         height=32,
         width=32,
         channels=3,
@@ -344,8 +348,9 @@ def tiny_config(**model_overrides) -> VAEConfig:
         unet_base_features=4,
         unet_levels=1,
         remat=False,
-        **model_overrides,
     )
+    kwargs.update(model_overrides)
+    model = ModelConfig(**kwargs)
     return VAEConfig(
         model=model,
         data=DataConfig(batch_size=2, max_frames=8, resize=(32, 32), synthetic=True),

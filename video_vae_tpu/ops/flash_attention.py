@@ -544,7 +544,9 @@ def _fused_pallas(
 
 def _fused_call(qkv, q_scale, k_scale, mask, num_heads, rope_base, rope_alpha, interpret):
     from video_vae_tpu.ops.rope import rope_tables
+    from video_vae_tpu.ops.conv3d import _env_interpret
 
+    interpret = interpret or _env_interpret()
     b, s, three_hd = qkv.shape
     hd = three_hd // 3
     d = hd // num_heads
@@ -814,7 +816,9 @@ def _fused_bwd_pallas(qkv, m, g, qs_tiled, ks_tiled, cos_t, sin_t, seg, *, num_h
 
 def _fused_bwd(num_heads, rope_base, rope_alpha, interpret, residuals, g):
     from video_vae_tpu.ops.rope import rope_tables
+    from video_vae_tpu.ops.conv3d import _env_interpret
 
+    interpret = interpret or _env_interpret()
     qkv, q_scale, k_scale, mask = residuals
     b, s, three_hd = qkv.shape
     hd = three_hd // 3
