@@ -120,10 +120,20 @@ def compile_only(args) -> None:
 
 
 def soak(args) -> None:
-    """Two curriculum epochs through Trainer.run_epoch, slope-timed."""
+    """Curriculum epochs through Trainer.run_epoch, slope-timed.
+
+    ``--batch B --frames F`` pins a single bucket instead (curriculum off) —
+    used for the sustained 64-frame run (the production curriculum tail,
+    /root/reference/train/rl_nonadversarial.py:287-295): proving the
+    perceptual-checkpoint memory fix holds across tens of consecutive Adam
+    steps with data variation, not just compile+first-step.
+    """
     import numpy as np
 
-    trainer = build_trainer(args, 2, 16, curriculum=True)
+    fixed = args.batch is not None or args.frames is not None
+    trainer = build_trainer(
+        args, args.batch or 2, args.frames or 16, curriculum=not fixed
+    )
 
     # Instrument the step boundary: wrap train_step to count steps and stamp
     # wall clocks at K1 and at end-of-epoch (one fetch each — slope method).
@@ -142,7 +152,7 @@ def soak(args) -> None:
     trainer.train_step = stamped
 
     report = {"remat": args.remat, "epochs": []}
-    for epoch in range(2):
+    for epoch in range(args.epochs):
         from video_vae_tpu.train.trainer import curriculum_plan
 
         plan = curriculum_plan(trainer.cfg, epoch)
@@ -189,6 +199,10 @@ def main() -> None:
     parser.add_argument("--scan-rollout", dest="scan_rollout", action="store_true")
     parser.add_argument("--vgg_layout", default="nhwc", choices=["nhwc", "cf"])
     parser.add_argument("--clips", type=int, default=100)
+    parser.add_argument("--batch", type=int, default=None,
+                        help="pin the soak to one bucket (with --frames)")
+    parser.add_argument("--frames", type=int, default=None)
+    parser.add_argument("--epochs", type=int, default=2)
     parser.add_argument("--warm_steps", type=int, default=6)
     parser.add_argument("--workdir", default="/tmp/vvt_soak")
     parser.add_argument("--profile", default=None)

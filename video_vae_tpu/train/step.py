@@ -106,7 +106,16 @@ def make_eval_step(
         video = video.astype(compute_dtype)
         out = model(video, frame_mask, rngs, train=sample_latent)
         loss, metrics = vae_loss(out, video, frame_mask, hp, loss_cfg, perceptual_fn)
-        metrics["reconstruction"] = out.reconstruction
+        # Scalars only: the reconstruction tensor used to ride in metrics here
+        # — a dead (2b,t,H,W,3) device->host buffer per eval batch (run_eval
+        # consumes only 0-d values; dumps use make_reconstruct_fn). Quality is
+        # reported as masked PSNR instead (BASELINE.md acceptance metric).
+        from video_vae_tpu.utils.metrics import masked_psnr
+
+        r = out.rollouts
+        video_r = jnp.repeat(video, r, axis=0) if r > 1 else video
+        mask_r = jnp.repeat(frame_mask, r, axis=0) if r > 1 else frame_mask
+        metrics["psnr"] = masked_psnr(out.reconstruction, video_r, mask_r)
         return metrics
 
     return eval_step

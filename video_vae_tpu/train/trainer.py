@@ -23,6 +23,7 @@ from dataclasses import dataclass
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 
@@ -218,6 +219,17 @@ class Trainer:
         t = self.cfg.train
         with activate_mesh(self.mesh):
             recon = self.reconstruct(self.model, sharded["video"], sharded["mask"])
+            # Deterministic-path reconstruction quality (BASELINE.md acceptance
+            # metric) rides with every dump, so quality is tracked per round —
+            # not just inside the parity unit test.
+            from video_vae_tpu.utils.metrics import masked_psnr
+
+            psnr = masked_psnr(
+                recon.astype(jnp.float32),
+                sharded["video"].astype(jnp.float32),
+                sharded["mask"],
+            )
+        self.logger.log({"dump_psnr": float(psnr)}, step)
         # All processes materialize (keeps collectives aligned,
         # distributed_train.py:551-557); only proc 0 writes.
         recon_np = np.asarray(jax.device_get(recon), dtype=np.float32)
@@ -252,13 +264,30 @@ class Trainer:
             process_index=jax.process_index(),
             process_count=jax.process_count(),
         )
-        for i, host_batch in enumerate(loader):
-            batch = shard_process_local_batch(host_batch, self.mesh)
+        # Input/compute overlap: the H2D transfer of batch k+1 is issued right
+        # after step k is *enqueued* (jax dispatch is asynchronous), so the
+        # device never idles waiting on the tunnel/PCIe put. The reference gets
+        # the host side of this from grain's 16-deep prefetch
+        # (/root/reference/train/dataloader.py:393-418) but still serializes
+        # its device_put with the step; here both are overlapped.
+        batches = iter(loader)
+
+        def fetch_next():
+            host_batch = next(batches, None)
+            if host_batch is None:
+                return None
+            return host_batch, shard_process_local_batch(host_batch, self.mesh)
+
+        pending = fetch_next()
+        while pending is not None:
+            host_batch, batch = pending
             hp = self.hparams_for_step(self.global_step)
             with activate_mesh(self.mesh):
                 metrics = self.train_step(
                     self.model, self.optimizer, batch["video"], batch["mask"], self.rngs, hp
                 )
+            # Step is enqueued; decode + transfer the next batch while it runs.
+            pending = fetch_next()
             self.global_step += 1
             self._maybe_profile()
             if self.global_step % cfg.train.log_every == 0:
