@@ -333,6 +333,83 @@ class MLP(nnx.Module):
         return self.linear2(nnx.silu(self.linear1(self.norm(x))))
 
 
+def _apply_attention(attn: "Attention", x: jnp.ndarray, mask) -> jnp.ndarray:
+    """Residual attention sublayer: x + Attention(x).
+
+    VVT_ATTN_SUBLAYER=1 (trace-time) routes through the single-kernel Pallas
+    sublayer (ops/flash_attention.py fused_attention_sublayer): input LN + qkv
+    GEMM + per-head LN/RoPE/attention + out GEMM + residual in one HBM round
+    trip. Falls back to the module chain off-TPU and under tensor>1 meshes
+    (the module path carries the head-axis sharding constraints TP needs).
+
+    On-chip A/B (v5e, r4): LOSES — 42.25 vs 43.9 clips/s (+0.85 ms forward,
+    ~+20 µs/call). The HBM-traffic model favored the fusion (~90 MB → ~19 MB
+    per call) but XLA's GEMMs already overlap that traffic with compute, and
+    Mosaic does not software-pipeline the in-kernel dot against the VPU
+    LN/softmax chain the way XLA's tiled GEMM+fusion does. Default stays off;
+    kept (tested, mesh-dispatched) as the ready-made shape for chips where
+    the MXU:HBM ratio shifts further toward compute (v6e+).
+    """
+    import os
+
+    if attn.attention_impl == "fused" and os.environ.get(
+        "VVT_ATTN_SUBLAYER", "0"
+    ) == "1":  # default off — on-chip A/B LOST (see docstring)
+        from video_vae_tpu.parallel.sharding import _axis_size, active_mesh
+
+        mesh = active_mesh()
+        if mesh is None or _axis_size(mesh, "tensor") <= 1:
+            from video_vae_tpu.ops.flash_attention import fused_attention_sublayer
+
+            return fused_attention_sublayer(
+                x,
+                attn.input_norm.scale.value,
+                attn.input_norm.bias.value,
+                attn.qkv_projection.kernel.value,
+                attn.qkv_projection.bias.value,
+                attn.q_norm.scale.value,
+                attn.k_norm.scale.value,
+                attn.out_projection.kernel.value,
+                attn.out_projection.bias.value,
+                mask,
+                attn.num_heads,
+                attn.rope_base,
+                attn.rope_alpha,
+            )
+    return x + attn(x, mask)
+
+
+def _apply_mlp(mlp: MLP, x: jnp.ndarray) -> jnp.ndarray:
+    """Residual MLP sublayer: x + MLP(LN(x)).
+
+    VVT_MLP_FUSED=1 (trace-time) routes through the single-kernel Pallas
+    sublayer (ops/fused_block.py): LN + both GEMMs + SiLU + residual in one
+    HBM round trip. The op itself falls back to the identical-math XLA chain
+    off-TPU and under tensor>1 meshes (Megatron W1/W2 splits stay with the
+    partitioner).
+
+    On-chip A/B (v5e, r4): LOSES — 42.15 vs 43.9 clips/s (+1.0 ms forward).
+    Same verdict as the attention sublayer (see _apply_attention): Mosaic's
+    single-shot in-kernel dots trail XLA's pipelined GEMM fusions by more
+    than the saved HBM round trips are worth at these shapes. Default off.
+    """
+    import os
+
+    if os.environ.get("VVT_MLP_FUSED", "0") == "1":  # default off — on-chip A/B LOST
+        from video_vae_tpu.ops.fused_block import fused_mlp_sublayer
+
+        return fused_mlp_sublayer(
+            x,
+            mlp.norm.scale.value,
+            mlp.norm.bias.value,
+            mlp.linear1.kernel.value,
+            mlp.linear1.bias.value,
+            mlp.linear2.kernel.value,
+            mlp.linear2.bias.value,
+        )
+    return x + mlp(x)
+
+
 class FactoredAttention(nnx.Module):
     """Axial space/time block: temporal attention+MLP, then spatial attention+MLP.
 
@@ -387,16 +464,16 @@ class FactoredAttention(nnx.Module):
             ).reshape(b * hw, 1, 1, t)
         else:
             mask = None
-        temporal_x = temporal_x + self.TemporalAttention(temporal_x, mask)
-        temporal_x = temporal_x + self.TemporalMLP(temporal_x)
+        temporal_x = _apply_attention(self.TemporalAttention, temporal_x, mask)
+        temporal_x = _apply_mlp(self.TemporalMLP, temporal_x)
         x = rearrange(temporal_x, "(b hw) t c -> b t hw c", b=b, hw=hw)
 
         # --- spatial pass over (b·t, hw, c); padding frames are masked in the
         # loss, so no mask is needed here (parity: layers.py:219) ---
         spatial_x = rearrange(x, "b t hw c -> (b t) hw c")
         spatial_x = constrain(spatial_x, ("data", "fsdp"))
-        spatial_x = spatial_x + self.SpatialAttention(spatial_x)
-        spatial_x = spatial_x + self.SpatialMLP(spatial_x)
+        spatial_x = _apply_attention(self.SpatialAttention, spatial_x, None)
+        spatial_x = _apply_mlp(self.SpatialMLP, spatial_x)
         x = rearrange(spatial_x, "(b t) hw c -> b t hw c", b=b, t=t)
         return constrain(x, ("data", "fsdp"))
 

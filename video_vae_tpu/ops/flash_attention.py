@@ -271,34 +271,33 @@ def _seg_sum_bcast(x, seq, num_heads):
     )
 
 
-def _fused_kernel(
-    qkv_ref, mask_ref, qs_ref, ks_ref, cos_ref, sin_ref, seg_ref, o_ref,
-    *, scale: float, num_heads: int, packed: bool = False, has_mask: bool = True,
+def _attention_core(
+    qkv, mask, qs, ks, cos3, sin3, seg, o_ref,
+    *, scale: float, num_heads: int, packed: bool, has_mask: bool,
 ):
-    """Block = a batch tile of the FULL fused (BB, S, 3·H·D) projection output
-    (full-lane blocks — per-head 64-lane blocks violate the 128-lane tiling on
-    real TPUs).
+    """The in-VMEM chain on a qkv VALUE: per-head LN + RoPE + attention,
+    stored head-slice-wise into ``o_ref`` (an output or scratch ref).
+
+    Shared by _fused_kernel (which reads the fused-QKV projection from HBM)
+    and _sublayer_kernel (which computes it in-kernel off the raw tokens).
 
     The pre-attention chain (per-head LayerNorm + rotary) runs VECTORIZED over
     all heads in one (BB, S, H·D) pass — a per-head loop of D=64-lane VPU ops
     measured 0.355 ms/call regardless of shape (xplane), ~5× over the memory
     bound. Per-head segmentation uses lane tricks:
     * segment mean/var: one (S,HD)@(HD,H) matmul against the 0/1 segment
-      matrix seg_ref, broadcast back with its transpose — no reshapes
+      matrix seg, broadcast back with its transpose — no reshapes
     * rotate_half within each D-lane segment: two global rolls of ±D/2 and a
       lane-phase select (a global roll crosses segment boundaries exactly at
       the lanes the phase select discards)
     * scales and rope tables arrive pre-tiled to H·D lanes
     Heads are looped ONLY for the two MXU dots + softmax.
     """
-    hd = o_ref.shape[-1]
+    hd = qkv.shape[-1] // 3
     d = hd // num_heads
-    mask = mask_ref[:]  # (BB, 1, S) int32
-    cos = cos_ref[:].astype(jnp.float32)[None]  # (1, S, HD) pre-tiled
-    sin = sin_ref[:].astype(jnp.float32)[None]
-    seg = seg_ref[:].astype(jnp.float32)  # (HD, 2H): [:, :H] segment one-hot,
-    # [:, H:] zero-pad so the lane dim of the tiny matmul output stays ≥ 2·H
     lane_phase = jax.lax.broadcasted_iota(jnp.int32, (1, 1, hd), dimension=2) & (d - 1)
+    cos = cos3
+    sin = sin3
 
     def norm_rope(x, scale_vec):
         x = x.astype(jnp.float32)  # (BB, S, HD)
@@ -332,8 +331,8 @@ def _fused_kernel(
         rot = jnp.where(lane_phase < d // 2, -fwd, bwd)
         return xn * cos + rot * sin
 
-    qn = norm_rope(qkv_ref[:, :, :hd], qs_ref[:].astype(jnp.float32))
-    kn = norm_rope(qkv_ref[:, :, hd : 2 * hd], ks_ref[:].astype(jnp.float32))
+    qn = norm_rope(qkv[:, :, :hd], qs)
+    kn = norm_rope(qkv[:, :, hd : 2 * hd], ks)
 
     if packed:
         # Small-S packed path: ONE (BB, S, H·S) score block for all heads.
@@ -344,9 +343,9 @@ def _fused_kernel(
         # contracts its own head's D-lane segment (zero lanes add exact
         # zeros in the f32 accumulator, so numerics match the per-head dot).
         seq = o_ref.shape[1]
-        L = num_heads * seq  # lane dim of the packed scores; mask_ref is
+        L = num_heads * seq  # lane dim of the packed scores; mask arrives
         # pre-tiled to (BB, 1, L) by the wrapper
-        v_all = qkv_ref[:, :, 2 * hd :]
+        v_all = qkv[:, :, 2 * hd :]
         # head-of-row (sublane, H·S) vs head-of-lane (HD) block mask
         bm = (
             jax.lax.broadcasted_iota(jnp.int32, (L, hd), 0) // seq
@@ -377,7 +376,7 @@ def _fused_kernel(
     for h in range(num_heads):
         q = qn[:, :, h * d : (h + 1) * d]
         k = kn[:, :, h * d : (h + 1) * d]
-        v = qkv_ref[:, :, 2 * hd + h * d : 2 * hd + (h + 1) * d]
+        v = qkv[:, :, 2 * hd + h * d : 2 * hd + (h + 1) * d]
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
@@ -395,6 +394,97 @@ def _fused_kernel(
             preferred_element_type=jnp.float32,
         )
         o_ref[:, :, h * d : (h + 1) * d] = (o * (1.0 / l)).astype(o_ref.dtype)
+
+
+def _fused_kernel(
+    qkv_ref, mask_ref, qs_ref, ks_ref, cos_ref, sin_ref, seg_ref, o_ref,
+    *, scale: float, num_heads: int, packed: bool = False, has_mask: bool = True,
+):
+    """Block = a batch tile of the FULL fused (BB, S, 3·H·D) projection output
+    (full-lane blocks — per-head 64-lane blocks violate the 128-lane tiling on
+    real TPUs). The math lives in _attention_core."""
+    _attention_core(
+        qkv_ref[:],
+        mask_ref[:],
+        qs_ref[:].astype(jnp.float32),
+        ks_ref[:].astype(jnp.float32),
+        cos_ref[:].astype(jnp.float32)[None],
+        sin_ref[:].astype(jnp.float32)[None],
+        seg_ref[:].astype(jnp.float32),
+        o_ref,
+        scale=scale,
+        num_heads=num_heads,
+        packed=packed,
+        has_mask=has_mask,
+    )
+
+
+def _sublayer_kernel(
+    x_ref, mask_ref, lng_ref, lnb_ref, wqkv_ref, bqkv_ref, qs_ref, ks_ref,
+    cos_ref, sin_ref, seg_ref, wout_ref, bout_ref, y_ref, o_buf,
+    *, scale: float, num_heads: int, packed: bool, has_mask: bool,
+    qkv_out_ref=None, o_out_ref=None,
+):
+    """FULL attention sublayer on a token tile, one HBM round trip:
+
+        y = x + Wout · attention(per-head-LN+RoPE(LN(x) · Wqkv + b))
+
+    The unfused pipeline moves ~90 MB through HBM per flagship call (LN out,
+    25 MB qkv write+read around the projection GEMM, 8 MB attention out,
+    25 MB projection out); this kernel moves ~19 MB (x in, weights, y out) and
+    runs both GEMMs on tokens already resident in VMEM. Parity: the Attention
+    module chain, models/layers.py:261-303 (/root/reference/train/layers.py:
+    131-171) plus the residual add at layers.py:216.
+
+    ``qkv_out_ref``/``o_out_ref`` (training variant) additionally spill the
+    bf16 qkv projection and attention output — the residuals the custom VJP
+    needs (the same live set XLA autodiff keeps for the unfused chain).
+    """
+    x = x_ref[:]
+    xf = x.astype(jnp.float32)
+    # token LayerNorm over the full feature lane dim (flax-clamped variance)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mean), 0.0
+    )
+    xn = (xf - mean) * jax.lax.rsqrt(var + _LN_EPS)
+    xa = (
+        xn * lng_ref[:].astype(jnp.float32) + lnb_ref[:].astype(jnp.float32)
+    ).astype(wqkv_ref.dtype)
+    qkv = (
+        jax.lax.dot_general(
+            xa, wqkv_ref[:], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bqkv_ref[:].astype(jnp.float32)
+    ).astype(x.dtype)
+    if qkv_out_ref is not None:
+        qkv_out_ref[:] = qkv
+    _attention_core(
+        qkv,
+        mask_ref[:],
+        qs_ref[:].astype(jnp.float32),
+        ks_ref[:].astype(jnp.float32),
+        cos_ref[:].astype(jnp.float32)[None],
+        sin_ref[:].astype(jnp.float32)[None],
+        seg_ref[:].astype(jnp.float32),
+        o_buf,
+        scale=scale,
+        num_heads=num_heads,
+        packed=packed,
+        has_mask=has_mask,
+    )
+    o = o_buf[:].astype(x.dtype)
+    if o_out_ref is not None:
+        o_out_ref[:] = o
+    y = (
+        jax.lax.dot_general(
+            o, wout_ref[:], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bout_ref[:].astype(jnp.float32)
+    )
+    y_ref[:] = (xf + y).astype(y_ref.dtype)
 
 
 def _reference_fused_chain(qkv, q_scale, k_scale, mask, num_heads, cos, sin):
@@ -875,3 +965,307 @@ def _fused_bwd(num_heads, rope_base, rope_alpha, interpret, residuals, g):
 
 
 fused_qkv_attention.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Whole attention sublayer as ONE kernel: y = x + Wout·attn(chain(LN(x)·Wqkv)).
+# See _sublayer_kernel for the HBM-traffic rationale. Backward reuses the
+# existing Pallas attention backward for the qk-norm+RoPE+softmax segment and
+# XLA GEMMs for the projections (partitioner-visible, already near-peak).
+# ---------------------------------------------------------------------------
+
+
+def _sublayer_pallas(
+    x, m, lng, lnb, wqkv, bqkv, qs_tiled, ks_tiled, cos_t, sin_t, seg,
+    wout, bout, *, num_heads, interpret, has_mask, save_residuals,
+):
+    b, s, c = x.shape
+    three_hd = wqkv.shape[1]
+    hd = three_hd // 3
+    d = hd // num_heads
+    packed, bb = _packed_and_bb(s, num_heads)
+    pad = (-b) % bb
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, s, c), x.dtype)], axis=0)
+        m = jnp.concatenate([m, jnp.ones((pad, 1, s), jnp.int32)], axis=0)
+    if packed:
+        m = jnp.tile(m, (1, 1, num_heads))
+    s_m = s * num_heads if packed else s
+    grid = ((b + pad) // bb,)
+
+    x_spec = pl.BlockSpec((bb, s, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((bb, 1, s_m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    vec_c = pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    vec_3hd = pl.BlockSpec((1, three_hd), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    scale_spec = pl.BlockSpec((1, hd), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec((s, hd), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    seg_spec = pl.BlockSpec((hd, 2 * num_heads), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    wqkv_spec = pl.BlockSpec((c, three_hd), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    wout_spec = pl.BlockSpec((hd, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    qkv_spec = pl.BlockSpec((bb, s, three_hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((bb, s, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    out_specs = [x_spec]
+    out_shape = [jax.ShapeDtypeStruct((b + pad, s, c), x.dtype)]
+    if save_residuals:
+        out_specs += [qkv_spec, o_spec]
+        out_shape += [
+            jax.ShapeDtypeStruct((b + pad, s, three_hd), x.dtype),
+            jax.ShapeDtypeStruct((b + pad, s, hd), x.dtype),
+        ]
+
+    def kernel(x_ref, mask_ref, lng_ref, lnb_ref, wqkv_ref, bqkv_ref, qs_ref,
+               ks_ref, cos_ref, sin_ref, seg_ref, wout_ref, bout_ref,
+               *outs_and_scratch):
+        if save_residuals:
+            y_ref, qkv_out_ref, o_out_ref, o_buf = outs_and_scratch
+        else:
+            (y_ref, o_buf) = outs_and_scratch
+            qkv_out_ref = o_out_ref = None
+        _sublayer_kernel(
+            x_ref, mask_ref, lng_ref, lnb_ref, wqkv_ref, bqkv_ref, qs_ref,
+            ks_ref, cos_ref, sin_ref, seg_ref, wout_ref, bout_ref, y_ref, o_buf,
+            scale=1.0 / (d**0.5), num_heads=num_heads, packed=packed,
+            has_mask=has_mask, qkv_out_ref=qkv_out_ref, o_out_ref=o_out_ref,
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            x_spec, mask_spec, vec_c, vec_c, wqkv_spec, vec_3hd,
+            scale_spec, scale_spec, table_spec, table_spec, seg_spec,
+            wout_spec, vec_c,
+        ],
+        out_specs=tuple(out_specs) if save_residuals else out_specs[0],
+        out_shape=tuple(out_shape) if save_residuals else out_shape[0],
+        scratch_shapes=[pltpu.VMEM((bb, s, hd), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, m, lng, lnb, wqkv, bqkv, qs_tiled, ks_tiled, cos_t, sin_t, seg, wout, bout)
+    if save_residuals:
+        y, qkv, o = out
+        return y[:b], qkv[:b], o[:b]
+    return out[:b], None, None
+
+
+def _ln_affine(x, lng, lnb):
+    """Token LayerNorm + affine exactly as the kernel/module compute it:
+    f32 stats (flax-clamped variance), bf16 output. Returns (xa, xn, r)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mean), 0.0
+    )
+    r = jax.lax.rsqrt(var + _LN_EPS)
+    xn = (xf - mean) * r
+    xa = (xn * lng.astype(jnp.float32) + lnb.astype(jnp.float32)).astype(jnp.bfloat16)
+    return xa, xn, r
+
+
+def _attn_sublayer_reference(x, lng, lnb, wqkv, bqkv, qs, ks, wout, bout,
+                             mask, num_heads, cos, sin):
+    """Module-equivalent XLA chain (fallback + tests): LN → qkv → fused chain
+    → out projection → residual."""
+    xa, _, _ = _ln_affine(x, lng, lnb)
+    qkv = (
+        jax.lax.dot_general(
+            xa, wqkv.astype(jnp.bfloat16), (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bqkv.astype(jnp.float32)
+    ).astype(x.dtype)
+    out = _reference_fused_chain(qkv, qs, ks, mask, num_heads, cos, sin)
+    y = (
+        jax.lax.dot_general(
+            out.astype(jnp.bfloat16), wout.astype(jnp.bfloat16),
+            (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        + bout.astype(jnp.float32)
+    )
+    return (x.astype(jnp.float32) + y).astype(x.dtype)
+
+
+def _attn_sublayer_impl(x, lng, lnb, wqkv, bqkv, q_scale, k_scale, wout, bout,
+                        mask, num_heads, rope_base, rope_alpha, interpret,
+                        save_residuals):
+    from video_vae_tpu.ops.conv3d import _env_interpret
+    from video_vae_tpu.ops.rope import rope_tables
+    from video_vae_tpu.parallel.sharding import (
+        log_dispatch as _log_dispatch,
+        mesh_info as _mesh_info,
+        shard_map_unchecked as _shard_map,
+    )
+
+    interpret = interpret or _env_interpret()
+    b, s, c = x.shape
+    three_hd = wqkv.shape[1]
+    hd = three_hd // 3
+    d = hd // num_heads
+    cos, sin = rope_tables(s, d, rope_base, rope_alpha)
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    mesh, axes = _mesh_info(b, tensor_safe=False)
+    if not (on_tpu or interpret) or (mesh is not None and axes is None):
+        y = _attn_sublayer_reference(
+            x, lng, lnb, wqkv, bqkv, q_scale, k_scale, wout, bout,
+            mask, num_heads, cos, sin,
+        )
+        return y, None, None
+
+    if mask is None:
+        m = jnp.ones((b, 1, s), jnp.int32)
+    else:
+        m = mask.reshape(b, 1, s).astype(jnp.int32)
+    qs_tiled, ks_tiled, cos_t, sin_t, seg = _tile_operands(
+        q_scale, k_scale, cos, sin, hd, d, num_heads
+    )
+    args = (
+        x, m,
+        lng.astype(jnp.float32).reshape(1, c),
+        lnb.astype(jnp.float32).reshape(1, c),
+        wqkv.astype(jnp.bfloat16),
+        bqkv.astype(jnp.float32).reshape(1, three_hd),
+        qs_tiled, ks_tiled, cos_t, sin_t, seg,
+        wout.astype(jnp.bfloat16),
+        bout.astype(jnp.float32).reshape(1, c),
+    )
+    kern = functools.partial(
+        _sublayer_pallas, num_heads=num_heads, interpret=interpret,
+        has_mask=mask is not None, save_residuals=save_residuals,
+    )
+    _log_dispatch("fused_attention_sublayer", "pallas", axes)
+    if mesh is None:
+        return kern(*args)
+    from jax.sharding import PartitionSpec as P
+
+    in_specs = (P(axes), P(axes)) + (P(),) * 11
+    if save_residuals:
+        return _shard_map(
+            lambda *a: kern(*a), mesh, in_specs, (P(axes), P(axes), P(axes))
+        )(*args)
+    y = _shard_map(
+        lambda *a: kern(*a)[0], mesh, in_specs, P(axes)
+    )(*args)
+    return y, None, None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
+def fused_attention_sublayer(
+    x: jnp.ndarray,
+    ln_scale: jnp.ndarray,
+    ln_bias: jnp.ndarray,
+    wqkv: jnp.ndarray,
+    bqkv: jnp.ndarray,
+    q_scale: jnp.ndarray,
+    k_scale: jnp.ndarray,
+    wout: jnp.ndarray,
+    bout: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    num_heads: int,
+    rope_base: float = 10000.0,
+    rope_alpha: float = 1.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """y = x + out_proj(attention(qk-LN+RoPE(LN(x)·Wqkv))) in one kernel.
+
+    Params arrive in stored dtype (f32) and are cast in the wrapper, so
+    cotangents come back f32. mask: (B,1,1,S) bool key-padding or None.
+    """
+    y, _, _ = _attn_sublayer_impl(
+        x, ln_scale, ln_bias, wqkv, bqkv, q_scale, k_scale, wout, bout,
+        mask, num_heads, rope_base, rope_alpha, interpret, save_residuals=False,
+    )
+    return y
+
+
+def _attn_sublayer_fwd(x, lng, lnb, wqkv, bqkv, q_scale, k_scale, wout, bout,
+                       mask, num_heads, rope_base, rope_alpha, interpret):
+    y, qkv, o = _attn_sublayer_impl(
+        x, lng, lnb, wqkv, bqkv, q_scale, k_scale, wout, bout,
+        mask, num_heads, rope_base, rope_alpha, interpret, save_residuals=True,
+    )
+    return y, (x, lng, lnb, wqkv, bqkv, q_scale, k_scale, wout, mask, qkv, o)
+
+
+def _attn_sublayer_bwd(num_heads, rope_base, rope_alpha, interpret, res, dy):
+    from video_vae_tpu.ops.rope import rope_tables
+
+    x, lng, lnb, wqkv, bqkv, q_scale, k_scale, wout, mask, qkv, o = res
+    b, s, c = x.shape
+    three_hd = wqkv.shape[1]
+    hd = three_hd // 3
+    d = hd // num_heads
+    n = b * s
+    dyf = dy.astype(jnp.float32)
+    dy16 = dy.astype(jnp.bfloat16).reshape(n, c)
+
+    xa, xn, r = _ln_affine(x, lng, lnb)
+    if qkv is None:  # forward took the XLA chain — rebuild the live set
+        cos, sin = rope_tables(s, d, rope_base, rope_alpha)
+        qkv = (
+            jax.lax.dot_general(
+                xa, wqkv.astype(jnp.bfloat16), (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + bqkv.astype(jnp.float32)
+        ).astype(x.dtype)
+        o = _reference_fused_chain(
+            qkv, q_scale, k_scale, mask, num_heads, cos, sin
+        ).astype(x.dtype)
+
+    # --- out projection ---
+    o16 = o.astype(jnp.bfloat16).reshape(n, hd)
+    do = jax.lax.dot_general(  # dy @ woutᵀ : (N, HD)
+        dy16, wout.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dwout = jax.lax.dot_general(  # oᵀ @ dy : (HD, C)
+        o16, dy16, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dbout = jnp.sum(dyf.reshape(n, c), axis=0)
+
+    # --- attention segment: reuse the op-level backward (Pallas on TPU) ---
+    dqkv, dqs, dks, _ = _fused_bwd(
+        num_heads, rope_base, rope_alpha, interpret,
+        (qkv, q_scale, k_scale, mask), do.reshape(b, s, hd).astype(qkv.dtype),
+    )
+
+    # --- qkv projection ---
+    dqkv16 = dqkv.astype(jnp.bfloat16).reshape(n, three_hd)
+    xa2 = xa.reshape(n, c)
+    dwqkv = jax.lax.dot_general(  # xaᵀ @ dqkv : (C, 3HD)
+        xa2, dqkv16, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dbqkv = jnp.sum(dqkv.astype(jnp.float32).reshape(n, three_hd), axis=0)
+    dxa = jax.lax.dot_general(  # dqkv @ wqkvᵀ : (N, C)
+        dqkv16, wqkv.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(b, s, c)
+
+    # --- LayerNorm backward ---
+    g32 = lng.astype(jnp.float32)
+    dg = jnp.sum((dxa * xn).reshape(n, c), axis=0)
+    dbeta = jnp.sum(dxa.reshape(n, c), axis=0)
+    du = dxa * g32
+    dx_ln = r * (
+        du
+        - jnp.mean(du, axis=-1, keepdims=True)
+        - xn * jnp.mean(du * xn, axis=-1, keepdims=True)
+    )
+    dx = (dyf + dx_ln).astype(x.dtype)
+    return (
+        dx,
+        dg.astype(lng.dtype),
+        dbeta.astype(lng.dtype),
+        dwqkv.astype(wqkv.dtype),
+        dbqkv.astype(wqkv.dtype),
+        dqs,
+        dks,
+        dwout.astype(wout.dtype),
+        dbout.astype(wout.dtype),
+        None,
+    )
+
+
+fused_attention_sublayer.defvjp(_attn_sublayer_fwd, _attn_sublayer_bwd)
