@@ -71,6 +71,30 @@ def _from_cf(x):
     return jnp.transpose(x, (0, 1, 3, 4, 2))
 
 
+@pytest.mark.parametrize("k", [(3, 3, 3), (3, 7, 7)])
+def test_s2d1d_pack_conv_matches_xla(k):
+    """Width-only s2d: pack → conv with the _s2d1d_kernel transform → unpack
+    equals the plain conv (tools/bench_s2d1d.py explored this as a lighter
+    alternative to 2-D packing: 2× structural-zero FLOPs instead of 4×;
+    on-chip per-shape A/B was mixed — 2.1x win on 12→16@256², 0.74x LOSS on
+    16→16, neutral mixer — so the UNet keeps 2-D packing; the transform stays
+    for shapes where it wins)."""
+    from video_vae_tpu.ops.conv3d import (
+        _s2d1d_kernel,
+        s2d1d_pack_cf,
+        s2d1d_unpack_cf,
+    )
+
+    x, kern, bias = _data(k=k)
+    ref = _conv3d_xla(x, kern, bias)
+    xp = s2d1d_pack_cf(_to_cf(x))
+    out_p = jax.jit(
+        lambda xp, kern, bias: conv3d_cf(xp, _s2d1d_kernel(kern), jnp.repeat(bias, 2))
+    )(xp, kern, bias)
+    out = _from_cf(s2d1d_unpack_cf(out_p))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3)
+
+
 @pytest.mark.parametrize("impl", ["xla", "s2d", "decomposed"])
 def test_cf_variants_match_xla(impl):
     x, kern, bias = _data()

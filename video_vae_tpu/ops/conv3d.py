@@ -1207,6 +1207,56 @@ def s2d_unpack_cf(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(y, (0, 1, 2, 5, 3, 6, 4)).reshape(b, t, c, 2 * hh, 2 * ww)
 
 
+def _s2d1d_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
+    """Width-only (factor 2) space-to-depth kernel transform.
+
+    Output (kt, kh, EW, 2ci, 2co) with phase-minor channel order (c, b):
+    W1d[dt, dh, DW, ci·2+pb, co·2+b] = W[dt, dh, dw, ci, co] where for output
+    phase b and tap offset d = dw − kw//2: r = b + d, DW = floor(r/2) + center,
+    pb = r mod 2. Pure index rearrangement — mathematically identical conv.
+
+    Rationale vs the 2-D transform (_s2d_kernel): 2-D packing multiplies true
+    FLOPs by 4 for a 3×3 kernel (each (DH,DW) tap's 4ci×4co block is 75%
+    structural zeros that the MXU contracts anyway); width-only packing wastes
+    only 2× while still doubling the contraction depth and halving the lane
+    width (256-px rows → 128 lanes, exactly one full lane tile).
+    """
+    kt, kh, kw, ci, co = kernel.shape
+    ew = _s2d_extent(kw)
+    P = kw
+    idx = np.full((ew, 2, 2), P, np.int32)  # (DW, pb, b)
+    ow = ew // 2
+    for b_ in (0, 1):
+        for dw in range(kw):
+            r = b_ + (dw - kw // 2)
+            DW, pb = r // 2 + ow, r % 2
+            idx[DW, pb, b_] = dw
+    taps = jnp.concatenate(
+        [kernel, jnp.zeros((kt, kh, 1, ci, co), kernel.dtype)], axis=2
+    )  # (kt, kh, kw+1, ci, co)
+    g = jnp.take(taps, jnp.asarray(idx.reshape(-1)), axis=2).reshape(
+        kt, kh, ew, 2, 2, ci, co
+    )
+    # rows ci·2+pb, cols co·2+b
+    return jnp.transpose(g, (0, 1, 2, 5, 3, 6, 4)).reshape(kt, kh, ew, ci * 2, co * 2)
+
+
+def s2d1d_pack_cf(x: jnp.ndarray) -> jnp.ndarray:
+    """(b,t,c,h,w) → (b,t,2c,h,w/2) with phase-minor channels c·2+b
+    (the _s2d1d_kernel convention)."""
+    b, t, c, h, w = x.shape
+    xs = x.reshape(b, t, c, h, w // 2, 2)
+    return jnp.transpose(xs, (0, 1, 2, 5, 3, 4)).reshape(b, t, c * 2, h, w // 2)
+
+
+def s2d1d_unpack_cf(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`s2d1d_pack_cf`."""
+    b, t, c2, h, ww = x.shape
+    c = c2 // 2
+    y = x.reshape(b, t, c, 2, h, ww)
+    return jnp.transpose(y, (0, 1, 2, 4, 5, 3)).reshape(b, t, c, h, 2 * ww)
+
+
 def conv3d_s2d_cf(x, kernel, bias):
     """Space-to-depth (factor 2) conv, channels-first. Same math as conv3d_s2d."""
     b, t, c, h, w = x.shape
