@@ -136,6 +136,30 @@ def test_trainer_smoke(tmp_path):
     trainer.ckpt.close()
 
 
+def test_trainer_serialized_h2d(tmp_path, monkeypatch):
+    """VVT_H2D_OVERLAP=0 serializes the per-step device put with the step
+    (the overlap A/B knob); the epoch must behave identically. Reuses the
+    smoke test's compiled graph via the persistent cache."""
+    from video_vae_tpu.train.trainer import Trainer
+
+    monkeypatch.setenv("VVT_H2D_OVERLAP", "0")
+    cfg = tiny_config()
+    cfg = cfg.replace(
+        data=cfg.data.replace(synthetic=True, synthetic_num_clips=4, batch_size=2,
+                              backend="threaded"),
+        train=cfg.train.replace(
+            num_epochs=1, curriculum=False, log_every=1, video_every=0,
+            checkpoint_every_steps=0,
+            checkpoint_dir=os.path.join(tmp_path, "ckpts"),
+            video_save_dir=os.path.join(tmp_path, "videos"),
+        ),
+    )
+    trainer = Trainer(cfg, install_signal_handlers=False)
+    assert trainer.run_epoch(0)
+    assert trainer.global_step == 2  # 4 clips / batch 2
+    trainer.ckpt.close()
+
+
 def test_curriculum_plan():
     from video_vae_tpu.train.trainer import curriculum_plan
 

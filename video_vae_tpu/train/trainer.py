@@ -270,24 +270,32 @@ class Trainer:
         # the host side of this from grain's 16-deep prefetch
         # (/root/reference/train/dataloader.py:393-418) but still serializes
         # its device_put with the step; here both are overlapped.
+        # VVT_H2D_OVERLAP=0 restores the serialized put (A/B + debugging knob:
+        # on hosts where the put blocks — e.g. tunneled devices — overlapping
+        # holds two device batches live but cannot overlap anything).
+        overlap = os.environ.get("VVT_H2D_OVERLAP", "1") != "0"
         batches = iter(loader)
 
-        def fetch_next():
+        def fetch_next(to_device: bool = True):
             host_batch = next(batches, None)
             if host_batch is None:
                 return None
+            if not to_device:
+                return host_batch, None
             return host_batch, shard_process_local_batch(host_batch, self.mesh)
 
-        pending = fetch_next()
+        pending = fetch_next(to_device=overlap)
         while pending is not None:
             host_batch, batch = pending
+            if batch is None:  # serialized mode: put right before the step
+                batch = shard_process_local_batch(host_batch, self.mesh)
             hp = self.hparams_for_step(self.global_step)
             with activate_mesh(self.mesh):
                 metrics = self.train_step(
                     self.model, self.optimizer, batch["video"], batch["mask"], self.rngs, hp
                 )
             # Step is enqueued; decode + transfer the next batch while it runs.
-            pending = fetch_next()
+            pending = fetch_next(to_device=overlap)
             self.global_step += 1
             self._maybe_profile()
             if self.global_step % cfg.train.log_every == 0:
