@@ -478,3 +478,70 @@ def test_unet_s2d_full_matches_normal():
     ref = jax.jit(lambda m, x: m(x))(plain, x)
     out = s2d_unpack_cf(jax.jit(lambda m, x: m(x))(packed, s2d_pack_cf(x)))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-3)
+
+
+def test_layer_norm_matches_flax():
+    """ops.norm.layer_norm ≡ nnx.LayerNorm (fast variance), with and
+    without bias, f32 exact-ish."""
+    from flax import nnx
+
+    from video_vae_tpu.ops.norm import layer_norm
+
+    ln = nnx.LayerNorm(16, rngs=nnx.Rngs(0))
+    ln.scale.value = jax.random.normal(jax.random.key(1), (16,)) * 0.5 + 1.0
+    ln.bias.value = jax.random.normal(jax.random.key(2), (16,)) * 0.2
+    x = jax.random.normal(jax.random.key(3), (4, 6, 16))
+    out = layer_norm(x, ln.scale.value, ln.bias.value, ln.epsilon)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ln(x)), atol=1e-5, rtol=1e-5)
+
+    lnb = nnx.LayerNorm(16, use_bias=False, rngs=nnx.Rngs(0))
+    lnb.scale.value = ln.scale.value
+    out = layer_norm(x, lnb.scale.value, None, lnb.epsilon)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(lnb(x)), atol=1e-5, rtol=1e-5)
+
+
+def test_layer_norm_custom_vjp_matches_autodiff():
+    """The hand-derived LN backward (VVT_LN_VJP) matches autodiff of the
+    identical forward, including the stats' dependence on x; bias=None path
+    returns no bias cotangent."""
+    from video_vae_tpu.ops.norm import _ln_fwd, layer_norm
+
+    scale = jax.random.normal(jax.random.key(1), (16,)) * 0.5 + 1.0
+    bias = jax.random.normal(jax.random.key(2), (16,)) * 0.2
+    x = jax.random.normal(jax.random.key(3), (4, 6, 16))
+
+    def loss_ours(x, s, b):
+        return jnp.sum(layer_norm(x, s, b, 1e-6) ** 2)
+
+    def loss_ref(x, s, b):
+        return jnp.sum(_ln_fwd(x, s, b, 1e-6)[0] ** 2)
+
+    ours = jax.jit(jax.grad(loss_ours, argnums=(0, 1, 2)))(x, scale, bias)
+    ref = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(x, scale, bias)
+    for a, r in zip(ours, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=2e-4, rtol=2e-4)
+
+    g_ours = jax.jit(jax.grad(lambda x, s: jnp.sum(layer_norm(x, s, None, 1e-6) ** 2),
+                              argnums=(0, 1)))(x, scale)
+    g_ref = jax.jit(jax.grad(lambda x, s: jnp.sum(_ln_fwd(x, s, None, 1e-6)[0] ** 2),
+                             argnums=(0, 1)))(x, scale)
+    for a, r in zip(g_ours, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=2e-4, rtol=2e-4)
+
+
+def test_apply_layer_norm_dispatch(monkeypatch):
+    """VVT_LN_VJP=1 routes nnx.LayerNorm modules through the hand-VJP op with
+    identical outputs (transformer train-path gate, models/layers.py)."""
+    from flax import nnx
+
+    from video_vae_tpu.ops.norm import apply_layer_norm
+
+    ln = nnx.LayerNorm(16, dtype=jnp.bfloat16, rngs=nnx.Rngs(0))
+    x = jax.random.normal(jax.random.key(3), (4, 6, 16), jnp.bfloat16)
+    monkeypatch.setenv("VVT_LN_VJP", "0")
+    ref = apply_layer_norm(ln, x)
+    monkeypatch.setenv("VVT_LN_VJP", "1")
+    out = apply_layer_norm(ln, x)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2, rtol=2e-2
+    )

@@ -27,6 +27,7 @@ from einops import rearrange
 from flax import nnx
 
 from video_vae_tpu.ops.attention import masked_attention
+from video_vae_tpu.ops.norm import apply_layer_norm
 from video_vae_tpu.ops.rope import apply_rope
 from video_vae_tpu.parallel.sharding import constrain
 
@@ -259,7 +260,7 @@ class Attention(nnx.Module):
         )
 
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        x = self.input_norm(x)
+        x = apply_layer_norm(self.input_norm, x)
         impl = self.attention_impl
         if impl == "fused":
             from video_vae_tpu.parallel.sharding import active_mesh, _axis_size
@@ -291,8 +292,8 @@ class Attention(nnx.Module):
         q = rearrange(q, "b s (h d) -> b s h d", h=self.num_heads)
         k = rearrange(k, "b s (h d) -> b s h d", h=self.num_heads)
         v = rearrange(v, "b s (h d) -> b s h d", h=self.num_heads)
-        q = self.q_norm(q)
-        k = self.k_norm(k)
+        q = apply_layer_norm(self.q_norm, q)
+        k = apply_layer_norm(self.k_norm, k)
         q, k = apply_rope(q, k, base=self.rope_base, alpha=self.rope_alpha)
         # Keep heads on the tensor axis (follows the column-parallel QKV split).
         q = constrain(q, ("data", "fsdp"), None, "tensor")
@@ -330,7 +331,7 @@ class MLP(nnx.Module):
         )
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return self.linear2(nnx.silu(self.linear1(self.norm(x))))
+        return self.linear2(nnx.silu(self.linear1(apply_layer_norm(self.norm, x))))
 
 
 def _apply_attention(attn: "Attention", x: jnp.ndarray, mask) -> jnp.ndarray:

@@ -152,6 +152,82 @@ def _gn_silu_bwd(num_groups, residuals, dz):
 _gn_silu_cf.defvjp(_gn_silu_fwd, _gn_silu_bwd)
 
 
+# ---------------------------------------------------------------------------
+# LayerNorm with a hand-derived backward (VVT_LN_VJP) — the GroupNorm+SiLU VJP
+# pattern applied to the transformer LN chains (train-step backward loop-fusion
+# tail, PERF.md). Forward math matches nnx.LayerNorm with use_fast_variance:
+# f32 statistics via E[x²]−mean² clamped at 0 (flax normalization.py:122), the
+# subtract/scale in compute dtype. Parity target: the pre-LN / qk-LN placement
+# of /root/reference/train/layers.py:131-196.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def layer_norm(x, scale, bias, eps=1e-6):
+    """Last-axis LayerNorm; ``bias`` may be None (qk-norm has none)."""
+    out, _ = _ln_fwd(x, scale, bias, eps)
+    return out
+
+
+def _ln_stats(x, eps):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mean), 0.0
+    )
+    return mean, jax.lax.rsqrt(var + eps)
+
+
+def _ln_fwd(x, scale, bias, eps):
+    mean, r = _ln_stats(x, eps)
+    xn = (x - mean.astype(x.dtype)) * r.astype(x.dtype)
+    y = xn * scale.astype(x.dtype)
+    if bias is not None:
+        y = y + bias.astype(x.dtype)
+    return y, (x, scale, bias, mean, r)
+
+
+def _ln_bwd(eps, residuals, dy):
+    """dx = r·(dxn − mean(dxn) − xn·mean(dxn·xn)) over the last axis,
+    recomputing xn from the saved (x, mean, r) instead of letting autodiff
+    save/replay the normalize chain; dscale/dbias are single f32 reductions
+    over every leading axis."""
+    x, scale, bias, mean, r = residuals
+    xnf = (x.astype(jnp.float32) - mean) * r
+    dyf = dy.astype(jnp.float32)
+    lead = tuple(range(x.ndim - 1))
+    dscale = jnp.sum(dyf * xnf, axis=lead)
+    dbias = None if bias is None else jnp.sum(dyf, axis=lead)
+    dxn = dyf * scale.astype(jnp.float32)
+    m1 = jnp.mean(dxn, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxn * xnf, axis=-1, keepdims=True)
+    dx = (r * (dxn - m1 - xnf * m2)).astype(x.dtype)
+    return (
+        dx,
+        dscale.astype(scale.dtype),
+        dbias if dbias is None else dbias.astype(bias.dtype),
+    )
+
+
+layer_norm.defvjp(_ln_fwd, _ln_bwd)
+
+
+def apply_layer_norm(norm, x: jnp.ndarray) -> jnp.ndarray:
+    """Dispatch an ``nnx.LayerNorm`` module: VVT_LN_VJP=1 (trace-time) routes
+    through :func:`layer_norm`'s hand-derived backward, else the flax module.
+    Restricted to the configurations the hand kernel reproduces exactly
+    (last-axis reduction, fast variance) — everything the transformer uses."""
+    if (
+        os.environ.get("VVT_LN_VJP", "0") == "1"
+        and norm.reduction_axes in (-1, (-1,))
+        and norm.use_fast_variance
+        and norm.use_scale
+    ):
+        bias = norm.bias.value if norm.use_bias else None
+        return layer_norm(x, norm.scale.value, bias, norm.epsilon)
+    return norm(x)
+
+
 def max_pool_2x_cf(x: jnp.ndarray) -> jnp.ndarray:
     """Spatial-only (1,2,2) max pool on (b, t, c, h, w).
 
