@@ -128,6 +128,7 @@ def main() -> None:
 
     baseline_path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
     vs_baseline = 1.0
+    ref = {}
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             ref = json.load(f)
@@ -135,16 +136,42 @@ def main() -> None:
         if ref_value:
             vs_baseline = clips_per_sec / ref_value
 
-    print(
-        json.dumps(
-            {
-                "metric": "encode+decode throughput, 256x256x16f flagship VAE",
-                "value": round(clips_per_sec, 4),
-                "unit": "clips/sec/chip",
-                "vs_baseline": round(vs_baseline, 4),
-            }
-        )
-    )
+    record = {
+        "metric": "encode+decode throughput, 256x256x16f flagship VAE",
+        "value": round(clips_per_sec, 4),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(vs_baseline, 4),
+    }
+
+    # Train-step metric rides the same JSON line (VERDICT r4 #5: the other
+    # half of the perf contract used to live only in PERF.md prose). Same
+    # robust slope estimator, full RL objective b1x16f — the workload of
+    # /root/reference/train/rl_nonadversarial.py:188-198. VVT_BENCH_TRAIN=0
+    # skips it (forward-only debugging).
+    if os.environ.get("VVT_BENCH_TRAIN", "1") == "1":
+        try:
+            import importlib.util
+
+            spec = importlib.util.spec_from_file_location(
+                "bench_train_step",
+                os.path.join(os.path.dirname(__file__), "tools", "bench_train_step.py"),
+            )
+            bts = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(bts)
+            print("[bench] measuring train step (b1x16f)...", file=sys.stderr)
+            t_est = bts.measure(1, 16, repeats=REPEATS)
+            print(f"[bench] train step {t_est.summary()}", file=sys.stderr)
+            record["train_ms_per_step"] = round(t_est.per_step * 1e3, 2)
+            ref_ms = (ref.get("train_step") or {}).get("ms_per_step")
+            if ref_ms:
+                record["train_vs_baseline"] = round(
+                    ref_ms / (t_est.per_step * 1e3), 4
+                )
+        except Exception as e:  # the forward headline must survive regardless
+            record["train_ms_per_step"] = None
+            record["train_error"] = f"{type(e).__name__}: {e}"[:300]
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -273,3 +273,32 @@ def test_fused_bwd_pallas_matches_xla_chain(monkeypatch, B):
     for a, b in zip(g_pallas, g_xla):
         scale = float(jnp.max(jnp.abs(b))) + 1e-6
         assert float(jnp.max(jnp.abs(a - b))) / scale < 5e-3
+
+
+@pytest.mark.parametrize("masked", [True, False])
+def test_fused_qkv_attention_pipelined_head_loop(masked, monkeypatch):
+    """VVT_ATTN_PIPELINE=1 (issue head h+1's score matmul before head h's
+    softmax) is a pure instruction-order change — identical ops, so the
+    per-head path must match it bit-for-bit at a spatial (S>=128) shape."""
+    from video_vae_tpu.ops.flash_attention import fused_qkv_attention
+
+    B, S, H, D = 4, 128, 8, 64  # S>=128: the non-packed per-head path
+    qkv = jax.random.normal(jax.random.key(21), (B, S, 3 * H * D), jnp.bfloat16)
+    q_scale = 1.0 + 0.1 * jax.random.normal(jax.random.key(22), (D,))
+    k_scale = 1.0 - 0.1 * jax.random.normal(jax.random.key(23), (D,))
+    mask = None
+    if masked:
+        mask = jnp.zeros((B, 1, 1, S), bool).at[..., : S * 3 // 4].set(True)
+
+    def run():
+        return jax.jit(
+            lambda qkv, qs, ks, m: fused_qkv_attention(
+                qkv, qs, ks, m, H, 10000.0, 1.0, True
+            )
+        )(qkv, q_scale, k_scale, mask)
+
+    monkeypatch.setenv("VVT_ATTN_PIPELINE", "0")
+    base = run()
+    monkeypatch.setenv("VVT_ATTN_PIPELINE", "1")
+    piped = run()
+    assert jnp.array_equal(base, piped), float(jnp.max(jnp.abs(base - piped)))

@@ -88,3 +88,33 @@ def test_factored_attention_shape_and_mask_arity():
     assert out.shape == x.shape
     out2 = nnx.jit(lambda m, x: m(x, None))(block, x)
     assert out2.shape == x.shape
+
+
+def test_proj_fold_matches_module_chain(monkeypatch):
+    """VVT_PROJ_FOLD=1: folding the pre-LN affine into the qkv / linear1
+    projections (W' = diag(g)W, b' = c@W + b) reproduces the module chain.
+    f32 end-to-end → the only difference is op order, so the tolerance is
+    tight; bf16 adds one rounding of xn at the GEMM input."""
+    from video_vae_tpu.models.layers import MLP, Attention
+
+    B, S, C = 2, 16, 64
+    x = jax.random.normal(jax.random.key(31), (B, S, C), jnp.float32)
+    attn = Attention(C, 2, 64, nnx.Rngs(0), dtype=jnp.float32)
+    mlp = MLP(C, 128, nnx.Rngs(1), dtype=jnp.float32)
+    # non-trivial affines (default init is g=1, c=0 — the fold would be vacuous)
+    for norm in (attn.input_norm, mlp.norm):
+        norm.scale.value = 1.0 + 0.1 * jax.random.normal(jax.random.key(32), (C,))
+        norm.bias.value = 0.1 * jax.random.normal(jax.random.key(33), (C,))
+
+    def run(module, *args):
+        graphdef, state = nnx.split(module)
+        return jax.jit(lambda s, *a: nnx.merge(graphdef, s)(*a))(state, *args)
+
+    monkeypatch.setenv("VVT_PROJ_FOLD", "0")
+    attn_base, mlp_base = run(attn, x, None), run(mlp, x)
+    monkeypatch.setenv("VVT_PROJ_FOLD", "1")
+    attn_fold, mlp_fold = run(attn, x, None), run(mlp, x)
+
+    for base, fold in ((attn_base, attn_fold), (mlp_base, mlp_fold)):
+        denom = float(jnp.max(jnp.abs(base))) + 1e-6
+        assert float(jnp.max(jnp.abs(base - fold))) / denom < 1e-5

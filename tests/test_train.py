@@ -53,7 +53,9 @@ def test_eval_step_scalars_only_with_psnr(trainables):
         k: np.shape(v) for k, v in metrics.items()
     }
     assert np.isfinite(float(metrics["loss"]))
-    assert np.isfinite(float(metrics["psnr"])) and float(metrics["psnr"]) > 0.0
+    # psnr_sampled: the stochastic-rollout meter (the deterministic one is
+    # dump_psnr_det in trainer._dump_videos — different noise floor, VERDICT r4 #8)
+    assert np.isfinite(float(metrics["psnr_sampled"])) and float(metrics["psnr_sampled"]) > 0.0
 
 
 def test_checkpoint_roundtrip(trainables, tmp_path):

@@ -7,6 +7,10 @@ overhead cancels (see bench.py). remat is off (memory fits at this batch; remat
 cannot cross scan).
 
     python tools/bench_train_step.py [--frames 16] [--batch 1]
+
+The measurement core (``build_chained`` / ``measure``) is also consumed by
+bench.py so the driver-visible BENCH json carries the train-step number next
+to the forward headline (VERDICT r4 #5).
 """
 
 from __future__ import annotations
@@ -37,31 +41,12 @@ from video_vae_tpu.train.setup import make_tx
 from video_vae_tpu.train.step import build_perceptual
 
 
-def main() -> None:
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--frames", type=int, default=16)
-    parser.add_argument("--batch", type=int, default=1)
-    parser.add_argument("--no_perceptual", action="store_true")
-    parser.add_argument("--vgg_layout", default="nhwc", choices=["nhwc", "cf"],
-                        help="perceptual-conv layout A/B (LossConfig.vgg_layout)")
-    parser.add_argument("--remat", action="store_true",
-                        help="config-gated per-block remat (what long-clip "
-                        "curriculum training pays for memory). WARNING: the "
-                        "remat graph inside this tool's scan-chained timing "
-                        "loop did not finish compiling in 50 min on v5e — "
-                        "measure remat steps through the Trainer instead")
-    parser.add_argument("--profile", metavar="DIR", default=None,
-                        help="dump an xplane trace of the timed region")
-    parser.add_argument("--dump-hlo", metavar="FILE", default=None,
-                        help="write the optimized HLO of the chained step "
-                        "(k=5, the program the xplane trace names come from) "
-                        "and exit without timing")
-    args = parser.parse_args()
-
-    cfg = ModelConfig(remat=args.remat)
-    loss_cfg = LossConfig(
-        use_perceptual=not args.no_perceptual, vgg_layout=args.vgg_layout
-    )
+def build_chained(batch=1, frames=16, *, perceptual=True, vgg_layout="nhwc", remat=False):
+    """Build the scan-chained train step. Returns (chained, states, inputs):
+    ``chained(m_state, o_state, video, mask, k)`` runs k donated steps and
+    returns (scalar, m_state, o_state)."""
+    cfg = ModelConfig(remat=remat)
+    loss_cfg = LossConfig(use_perceptual=perceptual, vgg_layout=vgg_layout)
     perceptual_fn = build_perceptual(loss_cfg)
     tx = make_tx(OptimConfig())
 
@@ -70,11 +55,10 @@ def main() -> None:
     m_def, m_state = nnx.split(model)
     o_def, o_state = nnx.split(optimizer)
 
-    b, t = args.batch, args.frames
     video = jax.random.uniform(
-        jax.random.key(0), (b, t, cfg.height, cfg.width, cfg.channels), jnp.bfloat16
+        jax.random.key(0), (batch, frames, cfg.height, cfg.width, cfg.channels), jnp.bfloat16
     )
-    mask = jnp.ones((b, t), jnp.float32)
+    mask = jnp.ones((batch, frames), jnp.float32)
     hp = DynamicHParams.default()
 
     @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(0, 1))
@@ -101,38 +85,90 @@ def main() -> None:
         )
         return jnp.sum(losses), m_state, o_state
 
-    def timed(k):
-        t0 = time.perf_counter()
-        total, m2, o2 = chained(m_state, o_state, video, mask, k)
-        float(total)
-        return time.perf_counter() - t0, m2, o2
+    return chained, (m_state, o_state), (video, mask)
 
-    if args.dump_hlo:
-        compiled = chained.lower(m_state, o_state, video, mask, 5).compile()
-        with open(args.dump_hlo, "w") as f:
-            f.write(compiled.as_text())
-        print(f"[bench_train_step] optimized HLO → {args.dump_hlo}")
-        return
 
-    print("[bench_train_step] compiling (fwd+bwd, this is the big one)...", flush=True)
-    k_short, k_long = 1, 5
-    # NOTE: donation means we must re-feed the returned states
+def measure(batch=1, frames=16, *, perceptual=True, vgg_layout="nhwc",
+            remat=False, repeats=5, k_short=1, k_long=5):
+    """Slope-timed ms/step estimate (utils.timing.RobustEstimate)."""
+    chained, (m_state, o_state), (video, mask) = build_chained(
+        batch, frames, perceptual=perceptual, vgg_layout=vgg_layout, remat=remat
+    )
+
+    # donation means we must re-feed the returned states every call
     def timed_feeding(k):
         nonlocal m_state, o_state
-        dt, m_state, o_state = timed(k)
-        return dt
+        t0 = time.perf_counter()
+        total, m_state, o_state = chained(m_state, o_state, video, mask, k)
+        float(total)
+        return time.perf_counter() - t0
 
-    timed_feeding(k_short)
+    timed_feeding(k_short)  # warmup/compile both chain lengths
     timed_feeding(k_long)
 
     from video_vae_tpu.utils.timing import robust_slope
 
-    est = robust_slope(
+    return robust_slope(
         lambda: timed_feeding(k_short),
         lambda: timed_feeding(k_long),
         k_short,
         k_long,
-        repeats=5,
+        repeats=repeats,
+    )
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--frames", type=int, default=16)
+    parser.add_argument("--batch", type=int, default=1)
+    parser.add_argument("--no_perceptual", action="store_true")
+    parser.add_argument("--vgg_layout", default="nhwc", choices=["nhwc", "cf"],
+                        help="perceptual-conv layout A/B (LossConfig.vgg_layout)")
+    parser.add_argument("--remat", action="store_true",
+                        help="config-gated per-block remat (what long-clip "
+                        "curriculum training pays for memory). WARNING: the "
+                        "remat graph inside this tool's scan-chained timing "
+                        "loop did not finish compiling in 50 min on v5e — "
+                        "measure remat steps through the Trainer instead")
+    parser.add_argument("--profile", metavar="DIR", default=None,
+                        help="dump an xplane trace of the timed region")
+    parser.add_argument("--dump-hlo", metavar="FILE", default=None,
+                        help="write the optimized HLO of the chained step "
+                        "(k=5, the program the xplane trace names come from) "
+                        "and exit without timing")
+    args = parser.parse_args()
+    b, t = args.batch, args.frames
+
+    if args.dump_hlo or args.profile:
+        chained, (m_state, o_state), (video, mask) = build_chained(
+            b, t, perceptual=not args.no_perceptual,
+            vgg_layout=args.vgg_layout, remat=args.remat,
+        )
+        if args.dump_hlo:
+            compiled = chained.lower(m_state, o_state, video, mask, 5).compile()
+            with open(args.dump_hlo, "w") as f:
+                f.write(compiled.as_text())
+            print(f"[bench_train_step] optimized HLO → {args.dump_hlo}")
+            return
+        from video_vae_tpu.utils.metrics import profile_trace
+
+        # compile + warm BOTH programs fully outside the trace: starting the
+        # profiler with a pending multi-minute remote compile hung the r5
+        # first attempt for >40 min (the old flow always profiled last)
+        total, m_state, o_state = chained(m_state, o_state, video, mask, 1)
+        float(total)
+        total, m_state, o_state = chained(m_state, o_state, video, mask, 5)
+        float(total)
+        with profile_trace(args.profile):
+            total, m_state, o_state = chained(m_state, o_state, video, mask, 5)
+            float(total)
+        print(f"[bench_train_step] xplane trace → {args.profile}")
+        return
+
+    print("[bench_train_step] compiling (fwd+bwd, this is the big one)...", flush=True)
+    est = measure(
+        b, t, perceptual=not args.no_perceptual,
+        vgg_layout=args.vgg_layout, remat=args.remat,
     )
     per_step = est.per_step
     print(f"[bench_train_step] {est.summary()}")
@@ -153,13 +189,6 @@ def main() -> None:
         if ref_ms:
             msg += f" | reference {ref_ms:.0f} ms → {ref_ms / (per_step*1e3):.2f}x"
     print(msg)
-    if args.profile:
-        from video_vae_tpu.utils.metrics import profile_trace
-
-        with profile_trace(args.profile):
-            _, m2, o2 = timed(k_long)
-            m_state, o_state = m2, o2
-        print(f"[bench_train_step] xplane trace → {args.profile}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,382 @@
+"""Whole-loop trajectory parity: N train steps, ours vs the reference, side by side.
+
+The one end-to-end numerics check unit parity can't give (VERDICT r4 missing
+#2): initialize BOTH frameworks from the same weights, feed identical batches
+and identical per-step rng seeds, run N full train steps (losses + backward +
+clip-by-norm Adam), and compare the per-step loss trajectories.
+
+Semantics under test: /root/reference/train/rl_nonadversarial.py:100-198
+(loss_fn + train_step) against our losses.vae_loss + train.step.make_train_step.
+Stochasticity alignment: both models consume the nnx sampling stream in the
+same order (reparam noise, then bernoulli — proven bit-identical in
+tests/test_reference_parity.py::test_full_forward_matches_with_shared_rng), so
+a fresh ``nnx.Rngs(sampling=seed+i)`` per step on each side draws identical
+noise/selection masks as long as the trajectories stay close.
+
+The perceptual term is OFF on both sides (gamma3=0): no pretrained VGG exists
+in this environment and random-filter features would only add noise to the
+comparison; every other term (masked MSE/MAE, KL, selection density with
+magnified negatives, paired-rollout REINFORCE) is live. The optimizer is the
+reference's exact chain (clip_by_global_norm(1.0) + adam) at a CONSTANT
+learning rate — the production warmup makes the first 14k steps near-zero
+updates, which would make an N<=100-step comparison vacuous.
+
+Usage:
+    python tools/parity_trajectory.py                 # flagship-ish, 50 steps, chip
+    python tools/parity_trajectory.py --tiny --steps 8 --f32   # CPU-scale
+    python tools/parity_trajectory.py --side reference ...      # (internal)
+
+Writes PARITY_TRAJ.json: both loss curves, per-step relative deltas, aux-metric
+deltas, and a verdict against the reference's own 5%-of-magnitude criterion
+(/root/reference/train/llm_tests.py:479-503).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+RNG_SEED = 2000  # per-step sampling seed base (both sides)
+VIDEO_SEED = 100  # per-step batch key base (both sides)
+AUX_KEYS = ("MSE", "kl_loss", "selection_loss", "kept_frame_density",
+            "mean_trajectory_prob", "per_sample_MAE")
+
+
+def model_dims(tiny: bool) -> dict:
+    if tiny:
+        return dict(height=64, width=64, patch_size=16, encoder_depth=1,
+                    decoder_depth=1, mlp_dim=64, num_heads=2, qkv_features=32,
+                    max_temporal_len=8, spatial_compression_rate=8,
+                    unembedding_upsample_rate=4)
+    # flagship dims (rl_nonadversarial.py:233-236)
+    return dict(height=256, width=256, patch_size=16, encoder_depth=9,
+                decoder_depth=12, mlp_dim=1536, num_heads=8, qkv_features=512,
+                max_temporal_len=64, spatial_compression_rate=8,
+                unembedding_upsample_rate=4)
+
+
+def make_batch(step: int, batch: int, frames: int, height: int, width: int):
+    """Identical on both sides: fp32 uniform, cast to compute dtype by each."""
+    import jax
+    import jax.numpy as jnp
+
+    video = jax.random.uniform(
+        jax.random.key(VIDEO_SEED + step), (batch, frames, height, width, 3),
+        jnp.float32,
+    )
+    mask = jnp.ones((batch, frames), jnp.float32)
+    if frames > 1:
+        mask = mask.at[0, frames - 1].set(0.0)  # exercise masking every step
+    return video, mask
+
+
+def reference_hparams() -> dict:
+    # rl_nonadversarial.py:254-262 defaults, perceptual OFF (see module doc)
+    return {"gamma1": 0.2, "gamma2": 0.001, "gamma3": 0.0, "gamma4": 0.05,
+            "max_compression_rate": 2, "magnify_negatives_rate": 100,
+            "rl_loss_weight": 0.01}
+
+
+# ---------------------------------------------------------------------------
+# Reference side — MUST run in a fresh interpreter (flax_pytree_module=False
+# has to be set before nnx is imported; see tests/helpers/dump_reference.py).
+# ---------------------------------------------------------------------------
+
+
+def run_reference(args) -> None:
+    import numpy as np
+
+    import jax
+
+    if args.f32 or args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    # same stub set that lets measure_reference run rl_nonadversarial in
+    # place: jaxtyping/beartype/wandb + the FLOP-faithful flaxmodels VGG16
+    from measure_reference import _install_annotation_stubs, _install_flaxmodels_stub
+
+    _install_annotation_stubs()
+    _install_flaxmodels_stub()
+    import flax
+
+    flax.config.update("flax_pytree_module", False)
+    import jax.numpy as jnp
+    import optax
+    from einops import rearrange, repeat
+    from flax import nnx
+
+    sys.path.insert(0, "/root/reference/train")
+    import rl_model
+    import rl_nonadversarial as ref_rl
+
+    dims = model_dims(args.tiny)
+    dtype = jnp.float32 if args.f32 else jnp.bfloat16
+
+    def build():
+        return rl_model.VideoVAE(
+            channels=3, rngs=nnx.Rngs(0, sampling=1),
+            dtype=dtype, param_dtype=jnp.float32, **dims,
+        )
+
+    m_def, _ = nnx.split(nnx.eval_shape(build))
+    m_state = jax.jit(lambda: nnx.split(build())[1])()
+    model = nnx.merge(m_def, m_state)
+
+    # dump the initial params for the other side (import_reference_state format)
+    arrays = {}
+
+    def _flatten(tree, prefix):
+        if hasattr(tree, "items"):
+            for key, value in tree.items():
+                _flatten(value, prefix + (str(key),))
+        elif isinstance(tree, (list, tuple)):
+            for i, value in enumerate(tree):
+                _flatten(value, prefix + (str(i),))
+        else:
+            value = getattr(tree, "value", tree)
+            if value is not None:
+                arrays["param/" + "/".join(prefix)] = np.asarray(value)
+
+    _flatten(nnx.state(model), ())
+
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(args.lr))
+    optimizer = nnx.jit(lambda m: nnx.Optimizer(m, tx, wrt=nnx.Param))(model)
+
+    hparams = reference_hparams()
+    hw = (dims["height"] // dims["patch_size"]) * (dims["width"] // dims["patch_size"])
+
+    def zero_perceptual(params, recon, video):
+        return jnp.zeros((recon.shape[0],), jnp.float32)
+
+    @nnx.jit
+    def step(model, optimizer, video, mask, original_mask, rngs):
+        grad_fn = nnx.value_and_grad(ref_rl.loss_fn, has_aux=True)
+        (loss, aux), grads = grad_fn(
+            model, video, mask, original_mask, rngs, hparams,
+            zero_perceptual, 0.0,
+        )
+        # reference calls optimizer.update(grads) (pre-0.12 API); same optax
+        # application under flax 0.12's two-arg form
+        optimizer.update(model, grads)
+        return loss, {k: aux[k] for k in AUX_KEYS}
+
+    @nnx.jit
+    def fwd_sel(model, video, mask, rngs):
+        # same rng consumption as a train step's forward — debug probe
+        return model(video, mask, rngs, train=True)[3]
+
+    losses, auxes, sels = [], [], []
+    for i in range(args.steps):
+        video, fmask = make_batch(i, args.batch, args.frames,
+                                  dims["height"], dims["width"])
+        video = video.astype(dtype)
+        # train_step's mask expansion (rl_nonadversarial.py:188-192)
+        mask = repeat(rearrange(fmask.astype(bool), "b t -> b 1 1 t"),
+                      "b 1 1 t -> (b hw) 1 1 t", hw=hw)
+        if args.debug_sel:
+            sels.append(fwd_sel(model, video, mask,
+                                nnx.Rngs(sampling=RNG_SEED + i)))
+        loss, aux = step(model, optimizer, video, mask, fmask,
+                         nnx.Rngs(sampling=RNG_SEED + i))
+        losses.append(loss)
+        auxes.append(aux)
+
+    # ONE stacked fetch: 50 individual float() fetches cost seconds each
+    # through the tunneled device (CLAUDE.md timing rules)
+    stacked = jax.device_get(
+        (jnp.stack(losses), {k: jnp.stack([a[k] for a in auxes]) for k in AUX_KEYS})
+    )
+    arrays["losses"] = np.asarray(stacked[0], np.float64)
+    for key in AUX_KEYS:
+        arrays["aux/" + key] = np.asarray(stacked[1][key], np.float64)
+    if sels:
+        arrays["sel_mask"] = np.asarray(
+            jax.device_get(jnp.stack(sels))[..., 0, 0], np.float32
+        )
+    np.savez(args.ref_out, **arrays)
+    print(f"[parity_trajectory/ref] {args.steps} steps, "
+          f"loss {arrays['losses'][0]:.6f} -> {arrays['losses'][-1]:.6f} "
+          f"-> {args.ref_out}")
+
+
+# ---------------------------------------------------------------------------
+# Our side + comparison
+# ---------------------------------------------------------------------------
+
+
+def run_ours_and_compare(args) -> dict:
+    import numpy as np
+
+    import jax
+
+    if args.f32 or args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+    import optax
+    from flax import nnx
+
+    from video_vae_tpu.core.config import DynamicHParams, LossConfig, ModelConfig
+    from video_vae_tpu.models.vae import VideoVAE
+    from video_vae_tpu.train.checkpoint import import_reference_state
+    from video_vae_tpu.train.step import make_train_step
+
+    ref = np.load(args.ref_out)
+    ref_tree: dict = {}
+    for key in ref.files:
+        if not key.startswith("param/"):
+            continue
+        node = ref_tree
+        parts = key[len("param/"):].split("/")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = ref[key]
+
+    dims = model_dims(args.tiny)
+    cfg = ModelConfig(
+        channels=3, selection_mode="rl", remat=False,
+        dtype="float32" if args.f32 else "bfloat16",
+        **dims,  # UNet dims stay at defaults — the reference's UNet is fixed
+    )
+    model = VideoVAE(cfg, nnx.Rngs(7, sampling=8))  # deliberately different init
+    copied = import_reference_state(model, ref_tree)
+    print(f"[parity_trajectory/ours] imported {copied} reference params")
+
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(args.lr))
+    optimizer = nnx.jit(lambda m: nnx.Optimizer(m, tx, wrt=nnx.Param))(model)
+
+    # pin the rl_nonadversarial-generation variants: our LossConfig defaults
+    # follow the NEWER distributed generation (abs penalty / log_prob RL /
+    # kept-frames KL), but the side-by-side reference here is
+    # rl_nonadversarial.loss_fn (square / normalized_prod / seq_len)
+    loss_cfg = LossConfig(
+        use_perceptual=False,
+        selection_penalty="square",
+        rl_objective="normalized_prod",
+        kl_normalizer="seq_len",
+    )
+    train_step = make_train_step(loss_cfg, None, compute_dtype=cfg.compute_dtype())
+    hp = DynamicHParams.default(gamma_perceptual=0.0)
+
+    @nnx.jit
+    def fwd_sel(model, video, fmask, rngs):
+        return model(video, fmask, rngs, train=True).selection_mask
+
+    losses, auxes, sels = [], [], []
+    for i in range(args.steps):
+        video, fmask = make_batch(i, args.batch, args.frames,
+                                  dims["height"], dims["width"])
+        if args.debug_sel:
+            sels.append(fwd_sel(model, video, fmask,
+                                nnx.Rngs(sampling=RNG_SEED + i)))
+        metrics = train_step(model, optimizer, video, fmask,
+                             nnx.Rngs(sampling=RNG_SEED + i), hp)
+        losses.append(metrics["loss"])
+        auxes.append({k: metrics[k] for k in AUX_KEYS})
+    if sels:
+        ours_sel = np.asarray(jax.device_get(jnp.stack(sels))[..., 0, 0])
+        ref_sel = np.asarray(ref["sel_mask"]) if "sel_mask" in ref.files else None
+        print("[parity_trajectory/debug] our sel:", ours_sel.tolist())
+        if ref_sel is not None:
+            print("[parity_trajectory/debug] ref sel:", ref_sel.tolist())
+            print("[parity_trajectory/debug] sel equal:",
+                  bool(np.array_equal(ours_sel, ref_sel)))
+
+    stacked = jax.device_get(
+        (jnp.stack(losses), {k: jnp.stack([a[k] for a in auxes]) for k in AUX_KEYS})
+    )
+    ours = np.asarray(stacked[0], np.float64)
+    theirs = np.asarray(ref["losses"], np.float64)
+    rel = np.abs(ours - theirs) / np.maximum(np.abs(theirs), 1e-12)
+
+    aux_max_rel = {}
+    for key in AUX_KEYS:
+        ours_a = np.asarray(stacked[1][key], np.float64)
+        theirs_a = np.asarray(ref["aux/" + key], np.float64)
+        denom = np.maximum(np.abs(theirs_a), 1e-6)
+        aux_max_rel[key] = float(np.max(np.abs(ours_a - theirs_a) / denom))
+        if args.debug_sel:
+            print(f"[parity_trajectory/debug] {key}: ours {ours_a.tolist()} "
+                  f"ref {theirs_a.tolist()}")
+
+    # the reference's own acceptance criterion: error < 5% of magnitude
+    # (/root/reference/train/llm_tests.py:499-503)
+    report = {
+        "task": "trajectory parity: N full RL train steps (no perceptual), "
+                "same initial weights + batches + rng seeds, "
+                "clip(1.0)+adam(lr) both sides",
+        "config": {
+            "steps": args.steps, "batch": args.batch, "frames": args.frames,
+            "lr": args.lr, "dtype": "float32" if args.f32 else "bfloat16",
+            "dims": dims, "device": jax.devices()[0].platform,
+        },
+        "reference_losses": [round(float(x), 8) for x in theirs],
+        "our_losses": [round(float(x), 8) for x in ours],
+        "per_step_rel_diff": [float(f"{x:.3e}") for x in rel],
+        "max_rel_diff": float(f"{np.max(rel):.3e}"),
+        "aux_max_rel_diff": {k: float(f"{v:.3e}") for k, v in aux_max_rel.items()},
+        "criterion": "max per-step relative loss delta < 5% "
+                     "(reference llm_tests.py:499-503 magnitude criterion)",
+        "pass": bool(np.max(rel) < 0.05),
+    }
+    return report
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--side", choices=["both", "reference", "ours"],
+                        default="both")
+    parser.add_argument("--steps", type=int, default=50)
+    parser.add_argument("--batch", type=int, default=1)
+    parser.add_argument("--frames", type=int, default=16)
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--tiny", action="store_true",
+                        help="64² depth-1 dims (CPU-testable)")
+    parser.add_argument("--f32", action="store_true",
+                        help="float32 compute both sides (tight tolerances)")
+    parser.add_argument("--device", choices=["auto", "cpu"], default="auto")
+    parser.add_argument("--debug-sel", action="store_true",
+                        help="also record per-step selection masks (an extra "
+                        "forward per step with the same rng seed)")
+    parser.add_argument("--ref-out", default="/tmp/parity_traj_ref.npz")
+    parser.add_argument("--out", default=os.path.join(REPO, "PARITY_TRAJ.json"))
+    args = parser.parse_args()
+
+    if args.side == "reference":
+        run_reference(args)
+        return
+
+    if args.side == "both":
+        cmd = [sys.executable, os.path.abspath(__file__), "--side", "reference",
+               "--steps", str(args.steps), "--batch", str(args.batch),
+               "--frames", str(args.frames), "--lr", str(args.lr),
+               "--device", args.device, "--ref-out", args.ref_out]
+        if args.tiny:
+            cmd.append("--tiny")
+        if args.f32:
+            cmd.append("--f32")
+        if args.debug_sel:
+            cmd.append("--debug-sel")
+        subprocess.run(cmd, check=True)
+
+    report = run_ours_and_compare(args)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+        f.write("\n")
+    print(f"[parity_trajectory] max_rel_diff={report['max_rel_diff']:.3e} "
+          f"pass={report['pass']} -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

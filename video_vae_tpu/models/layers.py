@@ -31,6 +31,34 @@ from video_vae_tpu.ops.norm import apply_layer_norm
 from video_vae_tpu.ops.rope import apply_rope
 from video_vae_tpu.parallel.sharding import constrain
 
+def _norm_project(norm: nnx.LayerNorm, linear: nnx.Linear, x: jnp.ndarray) -> jnp.ndarray:
+    """LN(x) @ W + b, with the LN affine optionally folded into the projection.
+
+    VVT_PROJ_FOLD=1 (trace-time): (xn·g + c) @ W + b  ≡  xn @ (diag(g)·W) +
+    (c @ W + b) — the PatchEmbedding trick (see above) applied to the
+    transformer pre-LN sublayers (/root/reference/train/layers.py:131-196).
+    W' is a (in, out) elementwise scale recomputed per step (trivial next to
+    the GEMM; hoisted entirely out of inference scans since weights are
+    loop-invariant), and the LN loop fusion drops its affine tail. Identical
+    math up to bf16 rounding of the (xn → GEMM input) cast.
+    """
+    import os
+
+    if os.environ.get("VVT_PROJ_FOLD", "0") != "1":
+        return linear(apply_layer_norm(norm, x))
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    # E[x²]−mean² clamped like flax (normalization.py:122)
+    var = jnp.maximum(
+        jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mean), 0.0
+    )
+    xn = ((xf - mean) * jax.lax.rsqrt(var + norm.epsilon)).astype(x.dtype)
+    kern = linear.kernel.value
+    wf = (norm.scale.value[:, None] * kern).astype(x.dtype)
+    bf = (norm.bias.value @ kern + linear.bias.value).astype(x.dtype)
+    return xn @ wf + bf
+
+
 # 100x-reduced init scale on residual-branch output projections
 # (/root/reference/train/layers.py:143-147,182-186) — keeps deep residual
 # stacks near-identity at init.
@@ -260,7 +288,8 @@ class Attention(nnx.Module):
         )
 
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        x = apply_layer_norm(self.input_norm, x)
+        # pre-LN + fused QKV projection (LN affine foldable — _norm_project)
+        qkv = _norm_project(self.input_norm, self.qkv_projection, x)
         impl = self.attention_impl
         if impl == "fused":
             from video_vae_tpu.parallel.sharding import active_mesh, _axis_size
@@ -277,7 +306,6 @@ class Attention(nnx.Module):
             # straight off the fused QKV projection (ops/flash_attention.py).
             from video_vae_tpu.ops.flash_attention import fused_qkv_attention
 
-            qkv = self.qkv_projection(x)
             out = fused_qkv_attention(
                 qkv,
                 self.q_norm.scale.value,
@@ -288,7 +316,7 @@ class Attention(nnx.Module):
                 self.rope_alpha,
             )
             return self.out_projection(out)
-        q, k, v = jnp.split(self.qkv_projection(x), 3, axis=-1)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
         q = rearrange(q, "b s (h d) -> b s h d", h=self.num_heads)
         k = rearrange(k, "b s (h d) -> b s h d", h=self.num_heads)
         v = rearrange(v, "b s (h d) -> b s h d", h=self.num_heads)
@@ -331,7 +359,7 @@ class MLP(nnx.Module):
         )
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return self.linear2(nnx.silu(self.linear1(apply_layer_norm(self.norm, x))))
+        return self.linear2(nnx.silu(_norm_project(self.norm, self.linear1, x)))
 
 
 def _apply_attention(attn: "Attention", x: jnp.ndarray, mask) -> jnp.ndarray:

@@ -373,16 +373,42 @@ def _attention_core(
         o_ref[:] = o.astype(o_ref.dtype)
         return
 
-    for h in range(num_heads):
+    def head_scores(h):
         q = qn[:, :, h * d : (h + 1) * d]
         k = kn[:, :, h * d : (h + 1) * d]
-        v = qkv[:, :, 2 * hd + h * d : 2 * hd + (h + 1) * d]
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
         s = s * scale
         if has_mask:
             s = jnp.where(mask > 0, s, _NEG_INF)
+        return s
+
+    if os.environ.get("VVT_ATTN_PIPELINE", "0") == "1":
+        # Software-pipelined head loop (identical math, different issue order):
+        # head h+1's independent score matmul is ISSUED before head h's
+        # softmax VPU chain, so the MXU crunches scores while the VPU walks
+        # max/exp/sum — the per-head chain is the residual overhead that keeps
+        # the spatial-shape calls at ~0.16 ms vs ~0.07 SOL (PERF.md). Costs
+        # one extra (BB, S, S) f32 score block of VMEM stack.
+        s_cur = head_scores(0)
+        for h in range(num_heads):
+            s_next = head_scores(h + 1) if h + 1 < num_heads else None
+            v = qkv[:, :, 2 * hd + h * d : 2 * hd + (h + 1) * d]
+            m = jnp.max(s_cur, axis=-1, keepdims=True)
+            p = jnp.exp(s_cur - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[:, :, h * d : (h + 1) * d] = (o * (1.0 / l)).astype(o_ref.dtype)
+            s_cur = s_next
+        return
+
+    for h in range(num_heads):
+        v = qkv[:, :, 2 * hd + h * d : 2 * hd + (h + 1) * d]
+        s = head_scores(h)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)

@@ -155,9 +155,11 @@ _gn_silu_cf.defvjp(_gn_silu_fwd, _gn_silu_bwd)
 # ---------------------------------------------------------------------------
 # LayerNorm with a hand-derived backward (VVT_LN_VJP) — the GroupNorm+SiLU VJP
 # pattern applied to the transformer LN chains (train-step backward loop-fusion
-# tail, PERF.md). Forward math matches nnx.LayerNorm with use_fast_variance:
-# f32 statistics via E[x²]−mean² clamped at 0 (flax normalization.py:122), the
-# subtract/scale in compute dtype. Parity target: the pre-LN / qk-LN placement
+# tail, PERF.md). Forward math is BIT-EXACT nnx.LayerNorm with use_fast_variance
+# (flax _normalize): f32 statistics via E[x²]−mean² clamped at 0 (flax
+# normalization.py:122), then (x−mean)·(r·scale)+bias ALL in f32 — the bf16
+# operands promote against the f32 stats exactly as in flax — with ONE cast to
+# the module dtype at the end. Parity target: the pre-LN / qk-LN placement
 # of /root/reference/train/layers.py:131-196.
 # ---------------------------------------------------------------------------
 
@@ -180,11 +182,14 @@ def _ln_stats(x, eps):
 
 def _ln_fwd(x, scale, bias, eps):
     mean, r = _ln_stats(x, eps)
-    xn = (x - mean.astype(x.dtype)) * r.astype(x.dtype)
-    y = xn * scale.astype(x.dtype)
+    # flax op order (normalization.py _normalize): mul = rsqrt(var+eps) * scale
+    # first, then y = (x − mean) * mul — everything promoted to f32, one cast
+    # at the end. Matching the order keeps the forward bit-identical.
+    mul = r * scale.astype(jnp.float32)
+    y = (x.astype(jnp.float32) - mean) * mul
     if bias is not None:
-        y = y + bias.astype(x.dtype)
-    return y, (x, scale, bias, mean, r)
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype), (x, scale, bias, mean, r)
 
 
 def _ln_bwd(eps, residuals, dy):
@@ -218,10 +223,25 @@ def apply_layer_norm(norm, x: jnp.ndarray) -> jnp.ndarray:
     Restricted to the configurations the hand kernel reproduces exactly
     (last-axis reduction, fast variance) — everything the transformer uses."""
     if (
-        os.environ.get("VVT_LN_VJP", "0") == "1"
+        os.environ.get("VVT_LN_VJP", "1") == "1"
         and norm.reduction_axes in (-1, (-1,))
+        and norm.feature_axes in (-1, (-1,))
         and norm.use_fast_variance
         and norm.use_scale
+        # flax would canonicalize the output dtype from (x, scale, bias,
+        # norm.dtype); the hand kernel returns x.dtype. Only take over when
+        # those agree — i.e. the module's compute dtype matches the input
+        # (every transformer use: dtype=bf16 modules on bf16 activations).
+        # With dtype=None flax promotes against the params instead, so then
+        # the params themselves must already be x.dtype.
+        and (
+            norm.dtype == x.dtype
+            if norm.dtype is not None
+            else (
+                norm.scale.value.dtype == x.dtype
+                and (not norm.use_bias or norm.bias.value.dtype == x.dtype)
+            )
+        )
     ):
         bias = norm.bias.value if norm.use_bias else None
         return layer_norm(x, norm.scale.value, bias, norm.epsilon)

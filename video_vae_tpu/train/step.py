@@ -110,12 +110,16 @@ def make_eval_step(
         # — a dead (2b,t,H,W,3) device->host buffer per eval batch (run_eval
         # consumes only 0-d values; dumps use make_reconstruct_fn). Quality is
         # reported as masked PSNR instead (BASELINE.md acceptance metric).
+        # Named *_sampled: this path repeats the target across the STOCHASTIC
+        # rollouts, so its floor differs from the deterministic `dump_psnr_det`
+        # (trainer._dump_videos); the BASELINE.md 0.1-dB criterion refers to
+        # the deterministic meter (/root/reference/train/model.py:129-131).
         from video_vae_tpu.utils.metrics import masked_psnr
 
         r = out.rollouts
         video_r = jnp.repeat(video, r, axis=0) if r > 1 else video
         mask_r = jnp.repeat(frame_mask, r, axis=0) if r > 1 else frame_mask
-        metrics["psnr"] = masked_psnr(out.reconstruction, video_r, mask_r)
+        metrics["psnr_sampled"] = masked_psnr(out.reconstruction, video_r, mask_r)
         return metrics
 
     return eval_step

@@ -229,7 +229,9 @@ class Trainer:
                 sharded["video"].astype(jnp.float32),
                 sharded["mask"],
             )
-        self.logger.log({"dump_psnr": float(psnr)}, step)
+        # *_det: deterministic reconstruct path — THE BASELINE.md 0.1-dB meter
+        # (unlike eval_psnr_sampled, which rides the stochastic rollouts).
+        self.logger.log({"dump_psnr_det": float(psnr)}, step)
         # All processes materialize (keeps collectives aligned,
         # distributed_train.py:551-557); only proc 0 writes.
         recon_np = np.asarray(jax.device_get(recon), dtype=np.float32)
