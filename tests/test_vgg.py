@@ -118,3 +118,48 @@ def test_perceptual_loss_cf_matches_nhwc():
     a = jax.jit(lambda x, t: fn_nhwc(x, t, 2))(x, tgt)
     b = jax.jit(lambda x, t: fn_cf(x, t, 2))(x, tgt)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-3)
+
+
+def test_vgg_dgrad_reformulation_matches_autodiff(monkeypatch):
+    """VVT_VGG_DGRAD=convfwd (input-gradient as a forward-style conv with the
+    flipped, io-swapped kernel + native wgrad) must match plain autodiff
+    through nnx.Conv — same math, different emitter (r5 xplane: XLA's derived
+    dgrad ran 16% MFU vs its forward emitter's 29% on conv1_2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_vae_tpu.models.vgg import VGG16Features
+    from flax import nnx
+
+    x = jax.random.uniform(jax.random.key(0), (2, 32, 32, 3), jnp.float32)
+
+    def loss(model, x):
+        acts = model(x)
+        return sum(jnp.sum(a.astype(jnp.float32) ** 2) for a in acts.values())
+
+    def run(flag):
+        monkeypatch.setenv("VVT_VGG_DGRAD", flag)
+        model = VGG16Features(nnx.Rngs(0), dtype=jnp.float32)
+        graphdef, state = nnx.split(model)
+
+        @jax.jit
+        def grads(state, x):
+            def loss_fn(state, x):
+                return loss(nnx.merge(graphdef, state), x)
+
+            return jax.grad(loss_fn, argnums=(0, 1))(state, x)
+
+        dstate, dx = grads(state, x)
+        return dx, dstate
+
+    dx_ref, dp_ref = run("xla")
+    dx_new, dp_new = run("convfwd")
+    assert float(jnp.max(jnp.abs(dx_ref - dx_new))) < 1e-3 * float(
+        jnp.max(jnp.abs(dx_ref)) + 1e-9
+    )
+    ref_leaves = jax.tree_util.tree_leaves(dp_ref)
+    new_leaves = jax.tree_util.tree_leaves(dp_new)
+    assert len(ref_leaves) == len(new_leaves)
+    for a, b in zip(ref_leaves, new_leaves):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-3

@@ -291,6 +291,11 @@ class Attention(nnx.Module):
         # pre-LN + fused QKV projection (LN affine foldable — _norm_project)
         qkv = _norm_project(self.input_norm, self.qkv_projection, x)
         impl = self.attention_impl
+        if impl == "fused" and jnp.dtype(x.dtype).itemsize != 2:
+            # the fused kernels' VMEM tile budgets assume 2-byte elements —
+            # f32 overflows the Mosaic stack on the flagship backward
+            # (111.7M vs 96M, r5); the XLA chain is identical math
+            impl = "xla"
         if impl == "fused":
             from video_vae_tpu.parallel.sharding import active_mesh, _axis_size
 

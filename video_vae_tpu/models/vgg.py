@@ -42,6 +42,62 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
 PERCEPTUAL_LAYERS = ("relu1_1", "relu1_2", "relu2_1")
 
 
+# ---------------------------------------------------------------------------
+# NHWC conv with a reformulated input-gradient (VVT_VGG_DGRAD=convfwd).
+#
+# r5 xplane of the b1x16f train step: XLA's derived dgrad for conv1_2
+# (fusion.9744, bf16[32,256,256,64] from a 3,3,64,64 kernel) runs 4.86 ms/step
+# ≈ 16% MFU while its FORWARD conv emitter does the same-shaped contraction at
+# ~29% (multiply_reduce_fusion.679). For a stride-1 SAME odd conv the input
+# gradient IS a forward conv of g with the spatially-flipped, io-swapped
+# kernel — expressing it that way hands XLA the better emitter. The filter
+# gradient stays on XLA's native path (jax.vjp w.r.t. w only).
+# ---------------------------------------------------------------------------
+
+
+def _conv2d_same(x, w, b):
+    import jax.lax as lax
+
+    # same arithmetic as nnx.Conv (no preferred_element_type: a f32-typed
+    # output makes jax's conv transpose feed a f32 cotangent against bf16
+    # operands inside the native-wgrad vjp, which lax rejects)
+    y = lax.conv_general_dilated(
+        x, w, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + b.astype(y.dtype)
+
+
+@jax.custom_vjp
+def conv2d_same_fast_dgrad(x, w, b):
+    return _conv2d_same(x, w, b)
+
+
+def _c2d_fwd(x, w, b):
+    return _conv2d_same(x, w, b), (x, w)
+
+
+def _c2d_bwd(res, g):
+    import jax.lax as lax
+
+    x, w = res
+    g = g.astype(x.dtype)
+    # dgrad as a forward-style conv (exact for stride 1, SAME, odd taps)
+    w_t = jnp.flip(w, axis=(0, 1)).swapaxes(2, 3)
+    dx = lax.conv_general_dilated(
+        g, w_t, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ).astype(x.dtype)
+    # filter gradient: XLA's native path (differentiate w.r.t. w only)
+    _, vjp_w = jax.vjp(lambda wk: _conv2d_same(x, wk, jnp.zeros((w.shape[-1],), x.dtype)), w)
+    (dw,) = vjp_w(g)
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
+    return dx, dw, db
+
+
+conv2d_same_fast_dgrad.defvjp(_c2d_fwd, _c2d_bwd)
+
+
 class VGG16Features(nnx.Module):
     """Truncated VGG16 returning {reluX_Y: activation} on NHWC [0,1] images."""
 
@@ -91,17 +147,36 @@ class VGG16Features(nnx.Module):
             x = (x - mean) / std
         if self.layout == "cf":
             return self._call_cf(x)
+
+        # default xla: the convfwd reformulation A/B'd NEUTRAL on-chip
+        # (164.15 vs 164.1-164.3 ms/step b1x16f, r5) — the derived-dgrad
+        # fusion's 16% MFU is evidently bounded by the relu-mask elementwise
+        # riding it, not by the conv emitter choice. Kept for chips/XLA
+        # versions where the emitters diverge.
+        if os.environ.get("VVT_VGG_DGRAD", "xla") == "convfwd":
+            # reformulated input-gradient (see conv2d_same_fast_dgrad)
+            def conv(name, t):
+                c = self.convs[name]
+                return conv2d_same_fast_dgrad(
+                    t,
+                    c.kernel.value.astype(self.dtype),
+                    c.bias.value.astype(self.dtype),
+                )
+        else:
+            def conv(name, t):
+                return self.convs[name](t)
+
         acts = {}
-        x = jax.nn.relu(self.convs["conv1_1"](x))
+        x = jax.nn.relu(conv("conv1_1", x))
         acts["relu1_1"] = x
-        x = jax.nn.relu(self.convs["conv1_2"](x))
+        x = jax.nn.relu(conv("conv1_2", x))
         acts["relu1_2"] = x
         # reduce_window pool: a strided-slice max variant was A/B'd ~40 ms/step
         # SLOWER here — its backward lowers to scatter-add chains far worse
         # than select_and_scatter (unlike the UNet's inference-path pools,
         # where slice-max wins).
         x = nnx.max_pool(x, window_shape=(2, 2), strides=(2, 2))
-        x = jax.nn.relu(self.convs["conv2_1"](x))
+        x = jax.nn.relu(conv("conv2_1", x))
         acts["relu2_1"] = x
         return acts
 
